@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** spark-submit entry point: generate (or read) the interleaved doc table,
+  * run extraction, write the output spans table as doc_id-range-partitioned
+  * parquet. Usage:
+  *
+  *   ExtractJob gen <nDocs> <outDir> [seed]     — generate + extract
+  *   ExtractJob run <docsDir> <mediaDir> <outDir> — extract an existing table
+  *
+  * The master/parallelism comes from spark-submit (or local[*] when absent),
+  * which is what the N vs 4N scaling protocol varies.
+  */
+object ExtractJob {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-extract")
+      // spark-submit injects spark.master; default to all local cores otherwise
+      .master(sys.props.getOrElse("spark.master", "local[*]"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    args.toList match {
+      case "gen" :: nDocs :: outDir :: rest =>
+        val seed = rest.headOption.map(_.toLong).getOrElse(GenData.DefaultSeed)
+        val n = nDocs.toLong
+        val t0 = System.nanoTime()
+        val out = Extract.runGenerated(n, seed)
+        out.write.mode(SaveMode.Overwrite).parquet(outDir)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val written = spark.read.parquet(outDir).count()
+        println(f"[extract-job] docs=$written%d wall=$secs%.2fs throughput=${written / secs}%.1f docs/s -> $outDir")
+      case "gendata" :: nDocs :: docsDir :: mediaDir :: rest =>
+        val seed = rest.headOption.map(_.toLong).getOrElse(GenData.DefaultSeed)
+        val (docs, media) = Extract.generate(nDocs.toLong, seed)
+        // range partitioning on doc_id at ingest (SURVEY.md §4): media_ref
+        // embeds the doc_id so both tables co-locate by range
+        docs.repartitionByRange(docs("doc_id")).write.mode(SaveMode.Overwrite).parquet(docsDir)
+        media.repartitionByRange(media("media_ref")).write.mode(SaveMode.Overwrite).parquet(mediaDir)
+        println(s"[extract-job] wrote ${spark.read.parquet(docsDir).count()} docs, " +
+          s"${spark.read.parquet(mediaDir).count()} media payloads")
+      case "run" :: docsDir :: mediaDir :: outDir :: Nil =>
+        val docs = spark.read.parquet(docsDir).as[graft.schema.Doc]
+        val media = spark.read.parquet(mediaDir).as[graft.schema.Media]
+        val t0 = System.nanoTime()
+        Extract.run(docs, media).write.mode(SaveMode.Overwrite).parquet(outDir)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val written = spark.read.parquet(outDir).count()
+        println(f"[extract-job] docs=$written%d wall=$secs%.2fs throughput=${written / secs}%.1f docs/s -> $outDir")
+      case other =>
+        System.err.println(s"usage: ExtractJob gen <nDocs> <outDir> [seed] | run <docsDir> <mediaDir> <outDir> (got: $other)")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.schema._
+
+/** The end-to-end correctness gate: the distributed pipeline must match the
+  * single-threaded oracle per row on (kind, text, media_ref, order) — the
+  * invariant from BASELINE.json `input_hint` — and be partition-count
+  * invariant (the correctness leg of the N vs 4N scaling evidence).
+  */
+class ExtractE2ESpec extends SparkSpec {
+  private val seed = GenData.DefaultSeed
+  private val nDocs = 300L
+
+  test("generator is deterministic and media refs resolve") {
+    val d1 = GenData.doc(seed, 7)
+    val d2 = GenData.doc(seed, 7)
+    assert(d1 == d2)
+    val refs = GenData.mediaRefs(d1)
+    refs.foreach { r =>
+      assert(GenData.payload(seed, r).sameElements(GenData.payload(seed, r)))
+    }
+  }
+
+  test("spark pipeline output equals single-threaded oracle for every doc") {
+    implicit val s = spark
+    import s.implicits._
+    val got = Extract.runGenerated(nDocs, seed).collect().map(d => d.doc_id -> d.spans).toMap
+    assert(got.size == nDocs)
+    var checkedRegions = 0
+    (0L until nDocs).foreach { i =>
+      val want = Oracle.extractGenerated(seed, i)
+      assert(got(want.doc_id) == want.spans, s"mismatch for ${want.doc_id}")
+      checkedRegions += want.spans.count(_.media_ref.nonEmpty)
+    }
+    // the dataset must actually exercise extraction, not just pass-through
+    assert(checkedRegions > 100, s"only $checkedRegions extracted spans — generator too weak")
+  }
+
+  test("all three stages and filtering actually occur in the generated corpus") {
+    val spans = (0L until nDocs).flatMap(i => Oracle.extractGenerated(seed, i).spans)
+    val kinds = spans.map(_.kind).toSet
+    assert(kinds.contains("text"))
+    assert(kinds.contains(Vocab.StdKind))
+    assert(kinds.exists(_.startsWith("mfd_")))
+    assert(kinds.exists(Vocab.LayoutCategories.drop(1).contains), s"no layout kinds in $kinds")
+  }
+
+  test("output is invariant to input partitioning (scaling correctness leg)") {
+    implicit val s = spark
+    import s.implicits._
+    val (docs, media) = Extract.generate(120, seed)
+    val a = Extract.run(docs.repartition(2), media.repartition(3))
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    val b = Extract.run(docs.repartition(11), media.repartition(5))
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    assert(a == b)
+  }
+
+  test("docs without media pass through with text spans only") {
+    implicit val s = spark
+    import s.implicits._
+    val doc = Doc("doc-x", Seq(RawSpan("text", "hello", "", 0), RawSpan("text", "world", "", 1)))
+    val out = Extract.run(Seq(doc).toDS(), s.emptyDataset[Media]).collect()
+    assert(out.toSeq == Seq(ExtractedDoc("doc-x",
+      Seq(OutSpan("text", "hello", "", 0), OutSpan("text", "world", "", 1)))))
+  }
+}
