@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Extract
+
+/** Driver-facing wrappers around the extraction pipeline. The interleaved doc
+  * table is synthesized deterministically at a size matched to the scale
+  * factor of `dir` (no external data; BASELINE.json input_hint shape).
+  */
+object ExtractOps {
+
+  /** Doc count per driver scale factor. */
+  def nDocsFor(dir: String): Long =
+    if (dir.contains("sf0.1")) 8000L
+    else if (dir.contains("sf0.01")) 2000L
+    else 300L
+
+  /** Full pipeline, flattened to one row per output span (deterministic order). */
+  def extractSpans(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Extract.runGenerated(nDocsFor(dir))
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.order").as("span_order"))
+      .orderBy("doc_id", "span_order")
+  }
+
+  /** Extraction metrics table (north rule: per-partition/per-kind counts). */
+  def extractMetrics(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Extract.runGenerated(nDocsFor(dir))
+      .select(explode(col("spans")).as("s"))
+      .groupBy(col("s.kind").as("kind"))
+      .agg(count(lit(1)).as("n_spans"), countDistinct(col("s.media_ref")).as("n_media"))
+      .orderBy("kind")
+  }
+}

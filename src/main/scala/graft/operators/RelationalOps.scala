@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational / window / event operators over the driver-provided tables —
+  * the engine-plumbing surface (scan, pushdown, broadcast/semi joins, partial
+  * aggregation, windows). Each has a DuckDB oracle in SparkEntry.oracleSql.
+  * All outputs are deterministically ordered and float columns are rounded so
+  * cross-engine value hashing is stable.
+  */
+object RelationalOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Pricing summary — partial+final hash aggregation over the fact table. */
+  def pricingAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue by market segment — broadcast join (customer is the small dim). */
+  def marketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Top-3 customers by balance per nation — ranking window + broadcast dim. */
+  def nationTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val w = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    customer
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"), col("rn"))
+      .orderBy("n_name", "rn")
+  }
+
+  /** Selective filter + 2-column projection — predicate/column pushdown into
+    * the parquet scan (verified in PlanSpec via PushedFilters/ReadSchema).
+    */
+  def shipdateFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") && col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Orders with at least one heavy lineitem — left-semi join (EXISTS). */
+  def priorityHeavyOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val heavy = t(spark, dir, "lineitem").where(col("l_quantity") > 49).select("l_orderkey")
+    orders
+      .join(heavy, orders("o_orderkey") === heavy("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Brand stats over the part dim — grouped agg with min/max/avg. */
+  def brandStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg("p_retailprice"), 2).as("avg_price"),
+        max("p_size").as("max_size"))
+      .orderBy("p_brand")
+
+  /** Tumbling 1-hour event counts — the batch analog of a windowed stream agg. */
+  def hourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity) — lag window + running sum,
+    * integer microsecond arithmetic so both engines agree exactly.
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // ts is TIMESTAMP_NTZ; cast to instant (session tz is UTC) for micros math
+    val us = unix_micros(col("ts").cast("timestamp"))
+    t(spark, dir, "events")
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || us - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+}

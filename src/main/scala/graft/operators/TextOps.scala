@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token counting, quality scoring, language-ID, exact dedup, n-gram
+  * Jaccard similarity. All codegen'd `functions._` — no UDFs in the hot path.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace token count per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        when(trim(col("text")) === "", 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
+      .orderBy("doc_id")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Quality metrics: char/token counts, punctuation count, stopword ratio.
+    * Ratios rounded to 4dp for stable cross-engine comparison.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nTokens = when(trim(col("text")) === "", 0).otherwise(size(toks))
+    val nStop = when(trim(col("text")) === "", 0)
+      .otherwise(size(filter(toks, x => array_contains(lit(Stopwords.toArray), lower(x)))))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        nTokens.as("n_tokens"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"),
+        when(nTokens === 0, lit(0.0))
+          .otherwise(round(nStop.cast("double") / nTokens.cast("double"), 4)).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-word counts per language. Occurrences of ` marker ` in the padded
+    * text, computed with exact integer arithmetic (length difference / marker
+    * length) so both engines agree bit-for-bit.
+    */
+  private def markerScore(markers: Seq[String]) = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    markers.map { m =>
+      val needle = s" $m "
+      (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+    }.reduce(_ + _)
+  }
+
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "et", "les", "des"),
+    "es" -> Seq("el", "y", "los", "las"))
+
+  /** N-gram-heuristic language ID: CJK chars force zh; otherwise the highest
+    * marker-word vote wins, ties broken in (en, de, fr, es) order.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = LangMarkers.map { case (l, ms) => l -> markerScore(ms) }.toMap
+    val cjk = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
+    val pred = when(cjk > 0, "zh")
+      .when(scores("en") >= scores("de") && scores("en") >= scores("fr") && scores("en") >= scores("es"), "en")
+      .when(scores("de") >= scores("fr") && scores("de") >= scores("es"), "de")
+      .when(scores("fr") >= scores("es"), "fr")
+      .otherwise("es")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+        (pred === col("lang")).cast("int").as("matched"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact deduplication: hash-groupBy on md5(text); keeper = min doc_id.
+    * At 100 TB this is the standard one-shuffle exact-dedup: hash partial
+    * aggregation combines map-side, so only (hash, count, min) tuples shuffle.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+      .orderBy("text_hash")
+
+  /** Character-trigram Jaccard near-duplicate pairs within the same source.
+    * Inverted-index self-join on shingle (the scalable pattern: only docs
+    * sharing a shingle ever pair up), distinct shingle sets, pairs with
+    * similarity >= 0.5. At scale the shingle join is the bottleneck —
+    * dedupMinHash (DedupOps) is the sub-quadratic path; this exact version
+    * doubles as its quality oracle.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "source", "text")
+    // positions 1..len-2; sequence() must be guarded (a descending bound
+    // silently yields a reversed range in Spark)
+    val grams = when(length(col("text")) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3))))
+    val shingles = d
+      .select(col("doc_id"), col("source"), explode(grams).as("g"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = shingles.as("a")
+    val b = shingles.as("b")
+    val common = a.join(b,
+        col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.SparkEntry
+import org.apache.spark.sql.functions._
+
+/** Correctness gates for the operators whose semantics DuckDB cannot express
+  * (hash-based dedup, LSH ANN, multimodal decode) plus a smoke pass over the
+  * whole SparkEntry surface. SQL-expressible ops are value-checked against
+  * DuckDB by the driver (tools/check_oracle.py emulates that locally).
+  */
+class OperatorsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every SparkEntry query runs and entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle for unimplemented queries: $missing")
+  }
+
+  test("minhash LSH finds planted near-duplicates with calibrated similarity") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val nearDup = base + " now"        // tiny suffix edit: jaccard near 1
+    val unrelated = "completely different content with zero overlapping character sequences here"
+    val d = Seq(
+      (1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, "spark catalyst optimizer rewrites logical plans into physical plans quickly"),
+      (5L, "spark catalyst optimizer rewrites logical plans into physical plans slowly"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minHashPairs(d, minJaccard = 0.5)
+      .select("doc_a", "doc_b", "est_sim", "jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(found.contains((1L, 2L)), s"missed planted near-dup, got $found")
+    assert(found.contains((4L, 5L)), s"missed planted near-dup, got $found")
+    assert(!found.exists(p => p._1 == 3L || p._2 == 3L), s"false positive with unrelated doc: $found")
+    pairs.foreach { case (_, _, est, jac) =>
+      assert(math.abs(est - jac) < 0.35, s"minhash estimate $est too far from exact $jac")
+    }
+  }
+
+  test("simhash: identical texts collide at hamming 0; near texts are close") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val sigs = DedupOps.simHashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+    val pairs = DedupOps.simHashPairs(d).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ANN IVF results are a high-recall subset of brute-force top-k") {
+    val exact = SimilarityOps.cosineTopK(spark, sf).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilarityOps.annIvf(spark, sf).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ANN recall $recall too low (|exact|=${exact.size}, hit=${(exact & approx).size})")
+    // every ANN hit must be a genuinely scored pair (cos computed, rank <= k)
+    assert(SimilarityOps.annIvf(spark, sf).where(col("rank") > SimilarityOps.TopK).count() == 0)
+  }
+
+  test("multimodal metadata decode covers all stages with valid dimensions") {
+    val rows = MultimodalOps.mediaMeta(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == nDocs)
+    val stages = rows.map(_.getAs[Int]("stage")).toSet
+    assert(stages == Set(0, 1, 2), s"missing stages: $stages")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") > 0 && r.getAs[Int]("height") > 0)
+      assert(r.getAs[Int]("n_regions") >= 0)
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
+  }
+
+  test("exact dedup keeps one keeper per distinct text") {
+    import spark.implicits._
+    val d = Seq((10L, "same text"), (11L, "same text"), (12L, "other"))
+      .toDF("doc_id", "text")
+    // reuse the md5-groupBy shape directly
+    val out = d.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toSet
+    assert(out == Set(2L -> 10L, 1L -> 12L))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the 100 TB story depends on filters/projections
+  * reaching the parquet scan and small dims being broadcast, so regressions
+  * here are performance bugs even when results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("shipdate filter is pushed into the parquet scan and columns pruned") {
+    val p = plan(RelationalOps.shipdateFilter(spark, sf))
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"), p.take(2000))
+    // projection must not read all 11 lineitem columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_extendedprice") && !read.contains("l_returnflag"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("market revenue uses a broadcast join for the customer dim") {
+    val p = plan(RelationalOps.marketRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("priority heavy orders uses a semi join") {
+    val p = plan(RelationalOps.priorityHeavyOrders(spark, sf))
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("pricing agg uses partial aggregation (map-side combine)") {
+    val p = plan(RelationalOps.pricingAgg(spark, sf))
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p.take(2000))
+  }
+
+  test("token count stays inside whole-stage codegen") {
+    val df = TextOps.tokenCount(spark, sf)
+    df.collect() // materialize so AQE finalizes the physical plan
+    val p = plan(df)
+    // codegen stages render as "*(n)" in the simple plan string
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
+  }
+}
