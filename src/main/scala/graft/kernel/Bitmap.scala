@@ -3,26 +3,59 @@ package graft.kernel
 /** Per-image bitmap kernels: binarization, morphological opening, connected
   * components. All within-row compute over one payload — never a distributed
   * structure (one image is one row; H*W is bounded by the payload codec).
+  *
+  * Hot path works on a Long-bitset bitmap built straight from the payload's
+  * quantized byte cells — no Float[]/Boolean[] materialization per payload
+  * (the kernel stage is memory-bandwidth-bound at high task parallelism).
   */
 object Bitmap {
 
-  /** `proba_map > bin_thresh` (/root/reference/cnstd/model/core.py:121).
-    * Compared in float32, as numpy does when broadcasting a scalar threshold
-    * against a float32 map.
+  /** `proba_map > bin_thresh` (/root/reference/cnstd/model/core.py:121),
+    * compared in float32 as numpy does when broadcasting a scalar threshold
+    * against a float32 map. On quantized cells this reduces to a byte
+    * comparison against the smallest byte whose prob exceeds the threshold.
     */
-  def threshold(probs: Array[Float], thresh: Double): Array[Boolean] = {
+  def thresholdByte(thresh: Double): Int = {
     val t = thresh.toFloat
-    val out = new Array[Boolean](probs.length)
+    var b = 0
+    while (b <= 255 && !((b / 255.0f) > t)) b += 1
+    b
+  }
+
+  /** Bitset bitmap from quantized cells; bit i = cell i above threshold. */
+  def thresholdBits(cells: Array[Byte], off: Int, n: Int, thresh: Double): Array[Long] = {
+    val minByte = thresholdByte(thresh)
+    val bits = new Array[Long]((n + 63) >>> 6)
     var i = 0
-    while (i < probs.length) { out(i) = probs(i) > t; i += 1 }
+    while (i < n) {
+      if ((cells(off + i) & 0xff) >= minByte) bits(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    bits
+  }
+
+  @inline private def bit(bits: Array[Long], i: Int): Boolean =
+    (bits(i >>> 6) & (1L << (i & 63))) != 0
+
+  /** Morphological opening (erosion then dilation) with a k x k all-ones
+    * kernel anchored at (k/2, k/2), zero-padded borders — the semantics of
+    * `cv2.morphologyEx(MORPH_OPEN, ones(k,k))` (/root/reference/cnstd/model/core.py:124-130,
+    * k = 1 + H/512). k == 1 is the identity; payload heights only exceed 512
+    * rarely, so the general path may be boolean-array based.
+    */
+  def morphOpenBits(bits: Array[Long], w: Int, h: Int, k: Int): Array[Long] = {
+    if (k <= 1) return bits
+    val bm = new Array[Boolean](w * h)
+    var i = 0
+    while (i < w * h) { bm(i) = bit(bits, i); i += 1 }
+    val opened = morphOpen(bm, w, h, k)
+    val out = new Array[Long](bits.length)
+    i = 0
+    while (i < w * h) { if (opened(i)) out(i >>> 6) |= 1L << (i & 63); i += 1 }
     out
   }
 
-  /** Morphological opening (erosion then dilation) with a k x k all-ones kernel
-    * anchored at (k/2, k/2), zero-padded borders — the semantics of
-    * `cv2.morphologyEx(MORPH_OPEN, ones(k,k))` (/root/reference/cnstd/model/core.py:124-130,
-    * k = 1 + H/512). k == 1 is the identity.
-    */
+  /** Boolean-array opening (general k; used by morphOpenBits and tests). */
   def morphOpen(bm: Array[Boolean], w: Int, h: Int, k: Int): Array[Boolean] = {
     if (k <= 1) return bm
     val a = k / 2
@@ -61,77 +94,90 @@ object Bitmap {
   /** A connected component's inclusive pixel-bounding box. */
   final case class Component(xMin: Int, yMin: Int, xMax: Int, yMax: Int)
 
-  /** 8-connected component labeling via BFS flood fill, components emitted in
-    * row-major first-pixel order. Replaces `cv2.findContours(RETR_EXTERNAL)` +
-    * `cv2.boundingRect` (/root/reference/cnstd/model/base.py:115-117): we only
-    * need each component's bounding box, not its contour polygon, on the
-    * axis-aligned path. Capped at `max` components
+  /** 8-connected component labeling via flood fill over the bitset,
+    * components emitted in row-major first-pixel order. DESTRUCTIVE: visited
+    * bits are cleared (the bitset doubles as the visited set). Replaces
+    * `cv2.findContours(RETR_EXTERNAL)` + `cv2.boundingRect`
+    * (/root/reference/cnstd/model/base.py:115-117) on the axis-aligned path.
+    * Capped at `max` components
     * (/root/reference/cnstd/ppocr/postprocess/db_postprocess.py:37,71).
     */
-  def connectedComponents(bm: Array[Boolean], w: Int, h: Int, max: Int): Seq[Component] = {
-    val visited = new Array[Boolean](bm.length)
+  def connectedComponents(bits: Array[Long], w: Int, h: Int, max: Int): Seq[Component] = {
+    val n = w * h
     val out = scala.collection.mutable.ArrayBuffer.empty[Component]
-    val stack = new java.util.ArrayDeque[Integer]()
-    var start = 0
-    while (start < bm.length && out.length < max) {
-      if (bm(start) && !visited(start)) {
-        var xMin = Int.MaxValue; var yMin = Int.MaxValue
-        var xMax = Int.MinValue; var yMax = Int.MinValue
-        visited(start) = true
-        stack.push(start)
-        while (!stack.isEmpty) {
-          val p = stack.pop().intValue()
-          val px = p % w
-          val py = p / w
-          if (px < xMin) xMin = px
-          if (px > xMax) xMax = px
-          if (py < yMin) yMin = py
-          if (py > yMax) yMax = py
-          var dy = -1
-          while (dy <= 1) {
-            var dx = -1
-            while (dx <= 1) {
-              val ny = py + dy
-              val nx = px + dx
-              if (ny >= 0 && ny < h && nx >= 0 && nx < w) {
-                val np = ny * w + nx
-                if (bm(np) && !visited(np)) {
-                  visited(np) = true
-                  stack.push(np)
+    var stack = new Array[Int](256)
+    var sp = 0
+    def push(v: Int): Unit = {
+      if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, sp * 2)
+      stack(sp) = v; sp += 1
+    }
+    var word = 0
+    while (word < bits.length && out.length < max) {
+      while (bits(word) != 0L && out.length < max) {
+        val start = (word << 6) + java.lang.Long.numberOfTrailingZeros(bits(word))
+        if (start >= n) { bits(word) = 0L } // padding bits (never set, defensive)
+        else {
+          var xMin = Int.MaxValue; var yMin = Int.MaxValue
+          var xMax = Int.MinValue; var yMax = Int.MinValue
+          bits(start >>> 6) &= ~(1L << (start & 63))
+          push(start)
+          while (sp > 0) {
+            sp -= 1
+            val p = stack(sp)
+            val px = p % w
+            val py = p / w
+            if (px < xMin) xMin = px
+            if (px > xMax) xMax = px
+            if (py < yMin) yMin = py
+            if (py > yMax) yMax = py
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                val ny = py + dy
+                val nx = px + dx
+                if (ny >= 0 && ny < h && nx >= 0 && nx < w) {
+                  val np = ny * w + nx
+                  if (bit(bits, np)) {
+                    bits(np >>> 6) &= ~(1L << (np & 63))
+                    push(np)
+                  }
                 }
+                dx += 1
               }
-              dx += 1
+              dy += 1
             }
-            dy += 1
           }
+          out += Component(xMin, yMin, xMax, yMax)
         }
-        out += Component(xMin, yMin, xMax, yMax)
       }
-      start += 1
+      word += 1
     }
     out.toSeq
   }
 
   /** Mean probability over the inclusive rect [x0..x1] x [y0..y1], clipped to
     * bounds — `box_score` fast path (/root/reference/cnstd/model/core.py:92-99).
+    * Frozen spec: mean = (sum of quantized cells) / 255 / count, in double.
     */
-  def rectMean(probs: Array[Float], w: Int, h: Int, x0: Int, y0: Int, x1: Int, y1: Int): Double = {
+  def rectMean(cells: Array[Byte], off: Int, w: Int, h: Int,
+               x0: Int, y0: Int, x1: Int, y1: Int): Double = {
     val cx0 = math.min(math.max(x0, 0), w - 1)
     val cx1 = math.min(math.max(x1, 0), w - 1)
     val cy0 = math.min(math.max(y0, 0), h - 1)
     val cy1 = math.min(math.max(y1, 0), h - 1)
-    var sum = 0.0
-    var n = 0
+    var sum = 0L
     var y = cy0
     while (y <= cy1) {
+      val rowOff = off + y * w
       var x = cx0
       while (x <= cx1) {
-        sum += probs(y * w + x)
-        n += 1
+        sum += (cells(rowOff + x) & 0xff)
         x += 1
       }
       y += 1
     }
-    if (n == 0) 0.0 else sum / n
+    val n = (cx1 - cx0 + 1).toLong * (cy1 - cy0 + 1).toLong
+    if (n == 0) 0.0 else sum.toDouble / 255.0 / n
   }
 }

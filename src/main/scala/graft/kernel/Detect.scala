@@ -10,7 +10,7 @@ object Detect {
 
   /** Full extraction for one media payload. */
   def extract(payload: Array[Byte]): Seq[Region] = Payload.decode(payload) match {
-    case Payload.ProbMap(w, h, probs)          => Order.finalize(std(probs, w, h))
+    case Payload.ProbMap(w, h, cells, off)      => Order.finalize(std(cells, off, w, h))
     case Payload.Candidates(stage, w, h, cands) => Order.finalize(yolo(stage, w, h, cands))
   }
 
@@ -23,10 +23,10 @@ object Detect {
     * post-unclip min-size (base.py:141-144) → clip → final score/size filters
     * (core.py:222-225) → REVERSED emission order (core.py:234).
     */
-  def std(probs: Array[Float], w: Int, h: Int): Seq[Region] = {
-    val bitmap = Bitmap.threshold(probs, Params.BinThresh)
+  def std(cells: Array[Byte], off: Int, w: Int, h: Int): Seq[Region] = {
+    val bitmap = Bitmap.thresholdBits(cells, off, w * h, Params.BinThresh)
     val k = 1 + h / 512
-    val opened = Bitmap.morphOpen(bitmap, w, h, k)
+    val opened = Bitmap.morphOpenBits(bitmap, w, h, k)
     val minSizeBox = 1 + h / 512
     val comps = Bitmap.connectedComponents(opened, w, h, Params.MaxCandidates)
     val out = comps.flatMap { c =>
@@ -38,7 +38,7 @@ object Detect {
         val bw = c.xMax - c.xMin + 1; val bh = c.yMax - c.yMin + 1
         // score over points [[x,y],[x,y+h],[x+w,y+h],[x+w,y]] → inclusive rect
         // [x .. x+w] x [y .. y+h], clipped (core.py:92-99)
-        val score = Bitmap.rectMean(probs, w, h, bx, by, bx + bw, by + bh)
+        val score = Bitmap.rectMean(cells, off, w, h, bx, by, bx + bw, by + bh)
         if (score < Params.BoxThresh) None
         else {
           val (ux0, uy0, ux1, uy1) = Geom.unclipRect(bx, by, bx + bw, by + bh, Params.UnclipRatio)

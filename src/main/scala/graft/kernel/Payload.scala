@@ -21,8 +21,11 @@ object Payload {
   final case class Candidate(cls: Int, cx: Float, cy: Float, w: Float, h: Float, conf: Float)
 
   sealed trait Decoded { def stage: Int; def width: Int; def height: Int }
-  final case class ProbMap(width: Int, height: Int, probs: Array[Float]) extends Decoded {
+
+  /** Zero-copy view over the payload's quantized cells (prob = cell/255f). */
+  final case class ProbMap(width: Int, height: Int, cells: Array[Byte], off: Int) extends Decoded {
     def stage: Int = Vocab.StageStd
+    def prob(i: Int): Float = (cells(off + i) & 0xff) / 255.0f
   }
   final case class Candidates(stage: Int, width: Int, height: Int, cands: Seq[Candidate]) extends Decoded
 
@@ -56,10 +59,7 @@ object Payload {
     val h = bb.getShort().toInt
     stage match {
       case Vocab.StageStd =>
-        val probs = new Array[Float](w * h)
-        var i = 0
-        while (i < probs.length) { probs(i) = (bb.get() & 0xff) / 255.0f; i += 1 }
-        ProbMap(w, h, probs)
+        ProbMap(w, h, bytes, 7)
       case s =>
         val n = bb.getShort().toInt
         val cands = (0 until n).map { _ =>

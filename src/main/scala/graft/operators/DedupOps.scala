@@ -70,9 +70,12 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / NumPerms, 4).as("est_sim"))
-    // exact verification on candidates only (sets are per-doc bounded)
+    // exact verification on candidates only (sets are per-doc bounded);
+    // prefilter on signature agreement cuts the verification join for
+    // candidates whose estimated similarity is far below the gate
     val sets = sh.groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
     withEst
+      .where(col("est_sim") >= minJaccard - 0.15)
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("est_sim"),

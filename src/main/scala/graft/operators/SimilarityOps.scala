@@ -111,7 +111,8 @@ object SimilarityOps {
     * Recall vs cosineTopK is asserted in OperatorsSpec.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val base = normalized(spark, dir)
+    // the normalized base feeds 5 Lloyd iterations + the final index: cache it
+    val base = normalized(spark, dir).cache()
     val centroids = trainCentroids(base)
     val indexed = base.withColumn("cell", assignCell(col("vec"), centroids))
     val queries = indexed.where(col("vec_id") < NumQueries)

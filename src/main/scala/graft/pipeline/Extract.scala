@@ -6,65 +6,80 @@ import graft.kernel.{Assemble, Detect}
 import graft.schema._
 
 /** One media-extraction task after the media join. */
-final case class MediaTask(doc_id: String, offset: Int, payload: Array[Byte])
+final case class MediaTask(doc_id: String, offset: Int, media_ref: String, payload: Array[Byte])
 
-/** Regions detected for one media span. */
-final case class MediaRegions(doc_id: String, offset: Int, regions: Seq[Region])
-
-/** All regions of a document, keyed by span offset. */
-final case class DocRegions(doc_id: String, byOffset: Map[Int, Seq[Region]])
+/** One assembled-input piece: either a text span (regions == null) or the
+  * region list extracted from a media span. Unioning both shapes lets the
+  * final assembly run off a single doc_id shuffle.
+  */
+final case class SpanPiece(doc_id: String, offset: Int, kind: String, text: String,
+                           media_ref: String, regions: Seq[Region])
 
 /** The distributed extraction pipeline (SURVEY.md §7.3 step 3):
   *
-  *   docs ─ explode media spans ─┐
-  *                               ├─ join(media_ref) ─ mapPartitions(Detect.extract)
-  *   media ─────────────────────-┘        │
-  *                               groupByKey(doc_id) ─┐
-  *   docs ──────────────────────────────── joinWith ─┴─ Assemble → ExtractedDoc
+  *   docs ─ explode media spans ─ join(media) ─ mapPartitions(Detect.extract) ─┐
+  *   docs ─ explode text spans ──────────────────────────────────────── union ─┴─
+  *     groupByKey(doc_id) ─ assemble → ExtractedDoc
   *
-  * Scale design: docs and media are both range-partitioned by doc_id at ingest
-  * (media_ref embeds its doc_id), so on a real cluster the media join and the
-  * doc_id group/join co-locate; here AQE handles post-shuffle sizing. The kernel
-  * is within-row pure compute — parallelism comes from partitions only, exactly
-  * replacing the reference's driver-side batch loop
-  * (/root/reference/cnstd/detector.py:232-245).
+  * Exactly two shuffles: the media-payload join and the final doc_id group.
+  * (A first cut re-joined the docs table after extraction — a third shuffle
+  * moving every text span twice; unioning typed pieces removes it.)
+  *
+  * Scale design: docs and media are both written doc_id-range-partitioned
+  * (media_ref embeds its doc_id), so on a real cluster the join co-locates
+  * after AQE; media-heavy docs are naturally split across tasks because the
+  * unit of kernel work is one media span, not one doc — skew in media count
+  * per doc therefore never concentrates in one task before the (cheap,
+  * regions-only) final group. The kernel is within-row pure compute —
+  * parallelism comes from partitions only, exactly replacing the reference's
+  * driver-side batch loop (/root/reference/cnstd/detector.py:232-245).
   */
 object Extract {
 
   def run(docs: Dataset[Doc], media: Dataset[Media])(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
     import spark.implicits._
 
-    val tasks = docs
-      .select($"doc_id", explode($"spans").as("s"))
-      .where($"s.kind" === "media")
-      .select($"doc_id", $"s.offset".as("offset"), $"s.media_ref".as("media_ref"))
+    val spans = docs.select(col("doc_id"), explode(col("spans")).as("s"))
 
-    val joined = tasks
+    val mediaTasks = spans
+      .where(col("s.kind") === "media")
+      .select(col("doc_id"), col("s.offset").as("offset"), col("s.media_ref").as("media_ref"))
       .join(media, Seq("media_ref"))
-      .select($"doc_id", $"offset", $"payload")
+      .select(col("doc_id"), col("offset"), col("media_ref"), col("payload"))
       .as[MediaTask]
 
     // Batched kernel invocation inside the partition iterator — the analog of
     // the reference's batch_size=20 inference loop. grouped() keeps the
-    // iterator lazy; one payload is in memory at a time per task thread.
-    val regions: Dataset[MediaRegions] = joined.mapPartitions { it =>
+    // iterator lazy; one payload batch is in memory at a time per task.
+    val mediaPieces: Dataset[SpanPiece] = mediaTasks.mapPartitions { it =>
       it.grouped(Params.BatchSize).flatMap { batch =>
-        batch.map(t => MediaRegions(t.doc_id, t.offset, Detect.extract(t.payload)))
+        batch.map { t =>
+          SpanPiece(t.doc_id, t.offset, "media", "", t.media_ref, Detect.extract(t.payload))
+        }
       }
     }
 
-    val perDoc: Dataset[DocRegions] = regions
-      .groupByKey(_.doc_id)
-      .mapGroups { (id, it) =>
-        DocRegions(id, it.map(r => r.offset -> r.regions).toMap)
-      }
+    val textPieces: Dataset[SpanPiece] = spans
+      .where(col("s.kind") =!= "media")
+      .select(col("doc_id"), col("s.offset").as("offset"), col("s.kind").as("kind"),
+        col("s.text").as("text"), col("s.media_ref").as("media_ref"),
+        lit(null).cast("array<struct<kind:string,x0:int,y0:int,x1:int,y1:int,score:double>>")
+          .as("regions"))
+      .as[SpanPiece]
 
-    docs
-      .joinWith(perDoc, docs("doc_id") === perDoc("doc_id"), "left_outer")
-      .map { case (doc, dr) =>
-        val byOffset = Option(dr).map(_.byOffset).getOrElse(Map.empty[Int, Seq[Region]])
-        ExtractedDoc(doc.doc_id, Assemble.assemble(doc.spans, byOffset))
-      }
+    mediaPieces
+      .unionByName(textPieces)
+      .groupByKey(_.doc_id)
+      .mapGroups { (id, it) => assembleFromPieces(id, it) }
+  }
+
+  private[pipeline] def assembleFromPieces(id: String, it: Iterator[SpanPiece]): ExtractedDoc = {
+    val pieces = it.toArray
+    val raw = pieces.map(p => RawSpan(p.kind, p.text, p.media_ref, p.offset))
+    val regions = pieces.collect {
+      case p if p.regions != null => p.offset -> p.regions
+    }.toMap
+    ExtractedDoc(id, Assemble.assemble(raw.toSeq, regions))
   }
 
   /** Generate `nDocs` docs + media payloads as distributed Datasets. */
@@ -77,7 +92,7 @@ object Extract {
     (docs, media)
   }
 
-  /** End-to-end over generated data, result sorted for deterministic output. */
+  /** End-to-end over generated data. */
   def runGenerated(nDocs: Long, seed: Long = GenData.DefaultSeed)(
       implicit spark: SparkSession): Dataset[ExtractedDoc] = {
     val (docs, media) = generate(nDocs, seed)

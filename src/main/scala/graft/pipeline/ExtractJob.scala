@@ -14,12 +14,11 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object ExtractJob {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    // spark-submit injects spark.master; default to all local cores otherwise
+    val spark = graft.Sessions.builder(
+        sys.props.getOrElse("spark.master", "local[*]"),
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       .appName("graft-extract")
-      // spark-submit injects spark.master; default to all local cores otherwise
-      .master(sys.props.getOrElse("spark.master", "local[*]"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     implicit val s: SparkSession = spark
     import spark.implicits._

@@ -29,47 +29,46 @@ class GeomSpec extends AnyFunSuite {
 }
 
 class BitmapSpec extends AnyFunSuite {
-  private def mk(w: Int, h: Int, boxes: Seq[(Int, Int, Int, Int)], v: Int = 240): Array[Float] = {
-    val cells = new Array[Float](w * h)
+  private def mk(w: Int, h: Int, boxes: Seq[(Int, Int, Int, Int)], v: Int = 240): Array[Byte] = {
+    val cells = new Array[Byte](w * h)
     for ((x0, y0, x1, y1) <- boxes; y <- y0 until y1; x <- x0 until x1)
-      cells(y * w + x) = v / 255.0f
+      cells(y * w + x) = v.toByte
     cells
   }
 
-  test("threshold binarizes strictly above") {
-    val bm = Bitmap.threshold(Array(0.29f, 0.30f, 0.31f), 0.3)
-    assert(bm.toSeq == Seq(false, false, true))
+  test("threshold byte boundary matches float32 semantics (b/255f > 0.3f)") {
+    assert(Bitmap.thresholdByte(0.3) == 77) // 76/255f = 0.298 <= 0.3f < 77/255f
+    val cells = Array[Byte](76, 77, 120)
+    val bits = Bitmap.thresholdBits(cells, 0, 3, 0.3)
+    assert((0 until 3).map(i => (bits(0) >> i & 1) == 1) == Seq(false, true, true))
   }
 
   test("connected components finds separate blobs in row-major order") {
-    val probs = mk(64, 64, Seq((5, 5, 15, 12), (40, 40, 55, 50)))
-    val bm = Bitmap.threshold(probs, 0.3)
-    val comps = Bitmap.connectedComponents(bm, 64, 64, 1000)
+    val bits = Bitmap.thresholdBits(mk(64, 64, Seq((5, 5, 15, 12), (40, 40, 55, 50))), 0, 64 * 64, 0.3)
+    val comps = Bitmap.connectedComponents(bits, 64, 64, 1000)
     assert(comps == Seq(Bitmap.Component(5, 5, 14, 11), Bitmap.Component(40, 40, 54, 49)))
   }
 
   test("8-connectivity merges diagonal touch") {
-    val probs = mk(16, 16, Seq((0, 0, 3, 3), (3, 3, 6, 6)))
-    val bm = Bitmap.threshold(probs, 0.3)
-    val comps = Bitmap.connectedComponents(bm, 16, 16, 1000)
+    val bits = Bitmap.thresholdBits(mk(16, 16, Seq((0, 0, 3, 3), (3, 3, 6, 6))), 0, 256, 0.3)
+    val comps = Bitmap.connectedComponents(bits, 16, 16, 1000)
     assert(comps.length == 1)
     assert(comps.head == Bitmap.Component(0, 0, 5, 5))
   }
 
   test("morphOpen k=2 removes 1px spurs, keeps solid blobs") {
-    val probs = mk(16, 16, Seq((2, 2, 8, 8), (12, 12, 13, 13)))
-    val bm = Bitmap.threshold(probs, 0.3)
-    val opened = Bitmap.morphOpen(bm, 16, 16, 2)
+    val bits = Bitmap.thresholdBits(mk(16, 16, Seq((2, 2, 8, 8), (12, 12, 13, 13))), 0, 256, 0.3)
+    val opened = Bitmap.morphOpenBits(bits, 16, 16, 2)
     val comps = Bitmap.connectedComponents(opened, 16, 16, 1000)
     assert(comps.length == 1)
   }
 
   test("rectMean averages over the inclusive clipped rect") {
-    val probs = mk(10, 10, Seq((0, 0, 2, 2)), v = 255)
+    val cells = mk(10, 10, Seq((0, 0, 2, 2)), v = 255)
     // rect [0..1]x[0..1]: 4 cells all 1.0
-    assert(math.abs(Bitmap.rectMean(probs, 10, 10, 0, 0, 1, 1) - 1.0) < 1e-6)
+    assert(math.abs(Bitmap.rectMean(cells, 0, 10, 10, 0, 0, 1, 1) - 1.0) < 1e-6)
     // rect [0..2]x[0..2]: 9 cells, 4 ones
-    assert(math.abs(Bitmap.rectMean(probs, 10, 10, 0, 0, 2, 2) - 4.0 / 9) < 1e-6)
+    assert(math.abs(Bitmap.rectMean(cells, 0, 10, 10, 0, 0, 2, 2) - 4.0 / 9) < 1e-6)
   }
 }
 
@@ -109,16 +108,17 @@ class OrderSpec extends AnyFunSuite {
 }
 
 class DetectSpec extends AnyFunSuite {
-  private def mapWith(w: Int, h: Int, boxes: Seq[(Int, Int, Int, Int, Int)]): Array[Float] = {
-    val cells = new Array[Float](w * h)
+  private def mapWith(w: Int, h: Int, boxes: Seq[(Int, Int, Int, Int, Int)]): Array[Byte] = {
+    val cells = new Array[Byte](w * h)
     for ((x0, y0, x1, y1, v) <- boxes; y <- y0 until y1; x <- x0 until x1)
-      cells(y * w + x) = v / 255.0f
+      cells(y * w + x) = v.toByte
     cells
   }
+  private def std(cells: Array[Byte], w: Int, h: Int) = Detect.std(cells, 0, w, h)
 
   test("fx01: single strong blob yields one region with the unclipped box") {
     val probs = mapWith(64, 64, Seq((10, 10, 30, 25, 240)))
-    val rs = Detect.std(probs, 64, 64)
+    val rs = std(probs, 64, 64)
     assert(rs.length == 1)
     val r = rs.head
     assert((r.x0, r.y0, r.x1, r.y1) == (3, 3, 37, 32))
@@ -131,12 +131,12 @@ class DetectSpec extends AnyFunSuite {
     val probs = mapWith(64, 64,
       Seq((10, 10, 30, 25, 110), // above bin_thresh, mean < box_thresh
           (40, 40, 41, 41, 240))) // 1px: extent filter
-    assert(Detect.std(probs, 64, 64).isEmpty)
+    assert(std(probs, 64, 64).isEmpty)
   }
 
   test("fx10: stacked blobs come out in reading order despite reversed emission") {
     val probs = mapWith(64, 192, Seq((10, 10, 40, 25, 240), (10, 70, 40, 85, 240), (10, 130, 40, 145, 240)))
-    val rs = Order.finalize(Detect.std(probs, 64, 192))
+    val rs = Order.finalize(std(probs, 64, 192))
     assert(rs.map(_.y0) == rs.map(_.y0).sorted)
     assert(rs.length == 3)
   }
@@ -166,9 +166,9 @@ class DetectSpec extends AnyFunSuite {
   test("payload codec round-trips both stages") {
     val cells = Array.tabulate(32 * 16)(i => (i % 251).toByte)
     Payload.decode(Payload.encodeProbMap(32, 16, cells)) match {
-      case Payload.ProbMap(w, h, probs) =>
+      case pm @ Payload.ProbMap(w, h, _, _) =>
         assert(w == 32 && h == 16)
-        assert(math.abs(probs(5) - (5 / 255.0f)) < 1e-6)
+        assert(math.abs(pm.prob(5) - (5 / 255.0f)) < 1e-6)
       case other => fail(s"unexpected $other")
     }
     val cs = Seq(Payload.Candidate(1, 1.5f, 2.5f, 3f, 4f, 0.5f))
@@ -182,13 +182,13 @@ class DetectSpec extends AnyFunSuite {
   test("std caps components at max_candidates") {
     // 33x33 grid of 2x2 blobs = 1089 components > 1000, spaced 6px apart
     val w = 220; val h = 220
-    val cells = new Array[Float](w * h)
+    val cells = new Array[Byte](w * h)
     for (gy <- 0 until 33; gx <- 0 until 33; dy <- 0 until 2; dx <- 0 until 2) {
       val x = gx * 6 + dx; val y = gy * 6 + dy
-      cells(y * w + x) = 240 / 255.0f
+      cells(y * w + x) = 240.toByte
     }
-    val bm = Bitmap.threshold(cells, Params.BinThresh)
-    val comps = Bitmap.connectedComponents(bm, w, h, Params.MaxCandidates)
+    val bits = Bitmap.thresholdBits(cells, 0, w * h, Params.BinThresh)
+    val comps = Bitmap.connectedComponents(bits, w, h, Params.MaxCandidates)
     assert(comps.length == Params.MaxCandidates)
   }
 }
