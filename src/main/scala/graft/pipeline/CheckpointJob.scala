@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.{Doc, ExtractedDoc, Media}
+import graft.table.{Manifest, RangeEntry, Snapshot}
+
+/** Checkpointed extraction over explicit doc_id ranges: each range is an
+  * independently committed unit with lineage + metrics recorded in the
+  * snapshot manifest, so a killed run resumes exactly at the first
+  * uncommitted range (north rule). At cluster scale each range is a
+  * partition-pruned slice of the range-partitioned input table, so resuming
+  * re-reads only pending ranges.
+  *
+  * Usage:
+  *   CheckpointJob run <docsDir> <mediaDir> <tableRoot> <nRanges> [failAfter]
+  *     (failAfter: test hook — abort after k committed ranges to exercise resume)
+  *   CheckpointJob status <tableRoot>
+  */
+object CheckpointJob {
+
+  /** Sample range boundaries from the docs table: nRanges-1 cut points from
+    * an evenly spaced sorted sample (the same shape Spark's RangePartitioner
+    * uses, but persisted so every resume sees identical ranges).
+    */
+  def sampleBoundaries(docs: Dataset[Doc], nRanges: Int)(implicit spark: SparkSession): Seq[String] = {
+    import spark.implicits._
+    if (nRanges <= 1) return Seq.empty
+    val ids = docs.select($"doc_id").as[String].sort($"doc_id")
+    val n = ids.count()
+    if (n == 0) return Seq.empty
+    val step = math.max(1L, n / nRanges)
+    ids.rdd.zipWithIndex()
+      .filter { case (_, i) => i > 0 && i % step == 0 }
+      .map(_._1)
+      .collect().toSeq.distinct.sorted.take(nRanges - 1)
+  }
+
+  def runCheckpointed(docs: Dataset[Doc], media: Dataset[Media], tableRoot: String,
+                      nRanges: Int, docsDirLineage: String, failAfter: Int = Int.MaxValue)(
+      implicit spark: SparkSession): Snapshot = {
+    val prior = Manifest.latest(tableRoot)
+    val boundaries = prior.map(_.boundaries).getOrElse(sampleBoundaries(docs, nRanges))
+    val done = prior.map(_.completed).getOrElse(Seq.empty)
+    var snapshot = prior.getOrElse(Snapshot(0, boundaries, Seq.empty))
+    val total = boundaries.length + 1
+    val pending = (0 until total).filterNot(snapshot.completedIds.contains)
+    var committed = 0
+    pending.foreach { r =>
+      if (committed >= failAfter) throw new RuntimeException(s"[test-hook] aborting after $failAfter ranges")
+      val lower = if (r == 0) "" else boundaries(r - 1)
+      val upper = if (r == total - 1) "" else boundaries(r)
+      val inRange = {
+        var d = docs
+        if (lower.nonEmpty) d = d.where(col("doc_id") >= lower)
+        if (upper.nonEmpty) d = d.where(col("doc_id") < upper)
+        d
+      }
+      val t0 = System.nanoTime()
+      val outPath = s"$tableRoot/range=$r"
+      val out = Extract.run(inRange, media)
+      out.write.mode(SaveMode.Overwrite).parquet(outPath)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val written = spark.read.parquet(outPath)
+      val rows = written.count()
+      val spans = written.select(sum(size(col("spans")))).head().getLong(0)
+      val entry = RangeEntry(r, lower, upper, s"range=$r", rows, spans, wall,
+        s"$docsDirLineage WHERE doc_id in [${if (lower.isEmpty) "-inf" else lower}, ${if (upper.isEmpty) "+inf" else upper})")
+      snapshot = Snapshot(snapshot.version + 1, boundaries, snapshot.completed :+ entry)
+      Manifest.write(tableRoot, snapshot) // atomic commit per range
+      committed += 1
+    }
+    snapshot
+  }
+
+  /** Read the completed table (all committed ranges). */
+  def readTable(tableRoot: String)(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    val snap = Manifest.latest(tableRoot).getOrElse(sys.error(s"no snapshot under $tableRoot"))
+    val paths = snap.completed.map(e => s"$tableRoot/${e.path}")
+    spark.read.parquet(paths: _*).as[ExtractedDoc]
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "run" :: docsDir :: mediaDir :: tableRoot :: nRangesS :: rest =>
+      val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-checkpoint")
+      implicit val s: SparkSession = spark
+      import spark.implicits._
+      spark.sparkContext.setLogLevel("WARN")
+      val failAfter = rest.headOption.map(_.toInt).getOrElse(Int.MaxValue)
+      val docs = spark.read.parquet(docsDir).as[Doc]
+      val media = spark.read.parquet(mediaDir).as[Media]
+      val snap = runCheckpointed(docs, media, tableRoot, nRangesS.toInt, docsDir, failAfter)
+      println(s"[checkpoint] version=${snap.version} ranges=${snap.completed.size} " +
+        s"rows=${snap.completed.map(_.rows).sum} spans=${snap.completed.map(_.spans).sum}")
+      spark.stop()
+    case "status" :: tableRoot :: Nil =>
+      Manifest.latest(tableRoot) match {
+        case None => println("[checkpoint] no snapshot")
+        case Some(snap) =>
+          println(s"[checkpoint] version=${snap.version} ranges=${snap.completed.size}/${snap.boundaries.length + 1}")
+          snap.completed.sortBy(_.rangeId).foreach { e =>
+            println(f"[checkpoint]   range=${e.rangeId}%3d [${e.lower},${e.upper}) rows=${e.rows}%8d spans=${e.spans}%9d wall=${e.wallSecs}%7.2fs")
+          }
+      }
+    case other =>
+      System.err.println(s"usage: CheckpointJob run <docsDir> <mediaDir> <tableRoot> <nRanges> [failAfter] | status <tableRoot> (got $other)")
+      sys.exit(2)
+  }
+}

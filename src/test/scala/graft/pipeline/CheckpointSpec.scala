@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.table.{Manifest, Snapshot}
+
+/** Resume semantics: a killed checkpointed run must restart at the first
+  * uncommitted range and produce exactly the single-shot result.
+  */
+class CheckpointSpec extends SparkSpec {
+
+  test("rangeOf assigns by lexicographic boundaries") {
+    val b = Seq("doc-000000100", "doc-000000200")
+    assert(Manifest.rangeOf(b, "doc-000000000") == 0)
+    assert(Manifest.rangeOf(b, "doc-000000100") == 1) // lower bound inclusive
+    assert(Manifest.rangeOf(b, "doc-000000150") == 1)
+    assert(Manifest.rangeOf(b, "doc-000000999") == 2)
+  }
+
+  test("manifest round-trips through json including escapes") {
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    val snap = Snapshot(3, Seq("doc-a", "doc-\"b\"\n"),
+      Seq(graft.table.RangeEntry(0, "", "doc-a", "range=0", 10, 42, 1.5, "in\tput")))
+    Manifest.write(dir, snap)
+    assert(Manifest.latest(dir).contains(snap))
+    // higher version wins
+    Manifest.write(dir, snap.copy(version = 4))
+    assert(Manifest.latest(dir).get.version == 4)
+  }
+
+  test("killed run resumes at first uncommitted range; result equals single-shot") {
+    implicit val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-ckpt").toString
+    val (docs, media) = Extract.generate(200)
+    docs.write.parquet(s"$base/docs")
+    media.write.parquet(s"$base/media")
+    val docsDs = spark.read.parquet(s"$base/docs").as[graft.schema.Doc]
+    val mediaDs = spark.read.parquet(s"$base/media").as[graft.schema.Media]
+
+    // killed after 2 committed ranges
+    val boom = intercept[RuntimeException] {
+      CheckpointJob.runCheckpointed(docsDs, mediaDs, s"$base/table", nRanges = 5,
+        docsDirLineage = s"$base/docs", failAfter = 2)
+    }
+    assert(boom.getMessage.contains("test-hook"))
+    val partial = Manifest.latest(s"$base/table").get
+    assert(partial.completed.size == 2)
+    assert(partial.boundaries.size == 4)
+
+    // resume to completion
+    val snap = CheckpointJob.runCheckpointed(docsDs, mediaDs, s"$base/table", nRanges = 5,
+      docsDirLineage = s"$base/docs")
+    assert(snap.completed.size == 5)
+    assert(snap.boundaries == partial.boundaries, "resume must reuse recorded boundaries")
+    assert(snap.completed.map(_.rows).sum == 200)
+    assert(snap.completed.forall(_.spans >= 0) && snap.completed.map(_.spans).sum > 0)
+
+    // committed table == single-shot extraction
+    val fromTable = CheckpointJob.readTable(s"$base/table")
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    val oneShot = Extract.run(docsDs, mediaDs)
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    assert(fromTable == oneShot)
+
+    // re-run is a no-op (nothing pending)
+    val again = CheckpointJob.runCheckpointed(docsDs, mediaDs, s"$base/table", nRanges = 5,
+      docsDirLineage = s"$base/docs")
+    assert(again.version == snap.version)
+  }
+}
