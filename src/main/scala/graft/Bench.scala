@@ -30,8 +30,11 @@ object Bench {
     implicit val s: SparkSession = spark
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warm the JVM/codegen paths once on the smallest sf
+    // warm the JVM/codegen paths once on the smallest sf (incl. the
+    // extraction plan: Janino + C2 compilation otherwise lands in the
+    // first timed run)
     SparkEntry.queries("q1_pricing_agg")(spark, "/root/testdata/sf0.001").count()
+    Extract.runGenerated(2000).foreach(_ => ())
 
     val results = headline.map { name =>
       val t0 = System.nanoTime()

@@ -1,8 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.kernel.{Assemble, Detect}
+import graft.kernel.Detect
 import graft.schema._
 
 /** One media-extraction task after the media join. */
@@ -19,7 +19,7 @@ final case class SpanPiece(doc_id: String, offset: Int, kind: String, text: Stri
   *
   *   docs ─ explode media spans ─ join(media) ─ mapPartitions(Detect.extract) ─┐
   *   docs ─ explode text spans ──────────────────────────────────────── union ─┴─
-  *     groupByKey(doc_id) ─ assemble → ExtractedDoc
+  *     groupBy(doc_id) ─ columnar assemble → ExtractedDoc
   *
   * Exactly two shuffles: the media-payload join and the final doc_id group.
   * (A first cut re-joined the docs table after extraction — a third shuffle
@@ -37,8 +37,49 @@ final case class SpanPiece(doc_id: String, offset: Int, kind: String, text: Stri
 object Extract {
 
   def run(docs: Dataset[Doc], media: Dataset[Media])(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
-    import spark.implicits._
+    val pieces = piecesOf(docs, media)
+    val grouped = pieces.toDF()
+      .groupBy("doc_id")
+      .agg(sortedPieces.as("ps"))
+    assembled(grouped)
+  }
 
+  /** Skew-salted variant of the final assembly for corpora with pathological
+    * media-heavy documents (north rule: "salting of skewed media-heavy
+    * partitions"): the doc_id group is salted by contiguous offset buckets so
+    * one enormous document spreads over many reducers; partial assemblies are
+    * then concatenated in bucket order, which equals global offset order
+    * because buckets partition the offset range contiguously. Output is
+    * identical to run() (asserted in ExtractE2ESpec).
+    *
+    * In the default pipeline the unit of kernel work is already one media
+    * span, so doc-level media skew only concentrates in the (cheap,
+    * regions-only) final group — salting matters when a single doc's span
+    * COUNT is itself extreme (millions), not merely its media payloads.
+    */
+  def runSalted(docs: Dataset[Doc], media: Dataset[Media], bucketSize: Int = 1024)(
+      implicit spark: SparkSession): Dataset[ExtractedDoc] = {
+    val pieces = piecesOf(docs, media)
+    val partial = pieces.toDF()
+      .withColumn("bucket", (col("offset") / bucketSize).cast("int"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sortedPieces.as("ps"))
+    val merged = partial
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("bucket"), col("ps")))),
+        b => b.getField("ps"))).as("ps"))
+    assembled(merged)
+  }
+
+  /** Kernel phase: explode spans, join media payloads, run Detect.extract in
+    * batched mapPartitions (the analog of the reference's batch_size=20
+    * inference loop, one payload batch in memory per task), union with the
+    * pass-through text pieces.
+    */
+  private def piecesOf(docs: Dataset[Doc], media: Dataset[Media])(
+      implicit spark: SparkSession): Dataset[SpanPiece] = {
+    import spark.implicits._
     val spans = docs.select(col("doc_id"), explode(col("spans")).as("s"))
 
     val mediaTasks = spans
@@ -48,9 +89,6 @@ object Extract {
       .select(col("doc_id"), col("offset"), col("media_ref"), col("payload"))
       .as[MediaTask]
 
-    // Batched kernel invocation inside the partition iterator — the analog of
-    // the reference's batch_size=20 inference loop. grouped() keeps the
-    // iterator lazy; one payload batch is in memory at a time per task.
     val mediaPieces: Dataset[SpanPiece] = mediaTasks.mapPartitions { it =>
       it.grouped(Params.BatchSize).flatMap { batch =>
         batch.map { t =>
@@ -67,19 +105,48 @@ object Extract {
           .as("regions"))
       .as[SpanPiece]
 
-    mediaPieces
-      .unionByName(textPieces)
-      .groupByKey(_.doc_id)
-      .mapGroups { (id, it) => assembleFromPieces(id, it) }
+    mediaPieces.unionByName(textPieces)
   }
 
-  private[pipeline] def assembleFromPieces(id: String, it: Iterator[SpanPiece]): ExtractedDoc = {
-    val pieces = it.toArray
-    val raw = pieces.map(p => RawSpan(p.kind, p.text, p.media_ref, p.offset))
-    val regions = pieces.collect {
-      case p if p.regions != null => p.offset -> p.regions
-    }.toMap
-    ExtractedDoc(id, Assemble.assemble(raw.toSeq, regions))
+  /** collect_list of piece structs ordered by offset (offset is the struct's
+    * first field, so sort_array orders by it; offsets are unique per doc).
+    */
+  private def sortedPieces = sort_array(collect_list(struct(
+    col("offset"), col("kind"), col("text"), col("media_ref"), col("regions"))))
+
+  /** Columnar assembly over (doc_id, ps) — the whole flatten/renumber tail
+    * stays inside whole-stage codegen (no object encoders after the kernel
+    * boundary). Semantics mirror kernel.Assemble.assemble exactly (the
+    * single-threaded oracle uses that independent implementation; the E2E
+    * suite asserts equality, so the two implementations cross-check):
+    *  * text spans pass through, media spans are replaced by their region
+    *    lists in media-local order (empty list drops the span),
+    *  * region text rendering matches Assemble.regionText's
+    *    "[x0,y0,x1,y1];%.4f" (format_string and formatLocal(ROOT) agree),
+    *  * final `order` renumbered 0..n-1.
+    */
+  private def assembled(grouped: DataFrame)(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    val flattened = flatten(transform(col("ps"), p =>
+      when(p.getField("regions").isNull,
+        array(struct(p.getField("kind").as("kind"), p.getField("text").as("text"),
+          lit("").as("media_ref"))))
+        .otherwise(transform(p.getField("regions"), r =>
+          struct(r.getField("kind").as("kind"),
+            format_string("[%d,%d,%d,%d];%.4f",
+              r.getField("x0"), r.getField("y0"), r.getField("x1"), r.getField("y1"),
+              r.getField("score")).as("text"),
+            p.getField("media_ref").as("media_ref"))))))
+    // guard the empty case: sequence(0, -1) would yield a DESCENDING range
+    val renumbered = when(size(col("flat")) === 0,
+      array().cast("array<struct<kind:string,text:string,media_ref:string,order:int>>"))
+      .otherwise(zip_with(col("flat"), sequence(lit(0), size(col("flat")) - 1),
+        (sp, i) => struct(sp.getField("kind").as("kind"), sp.getField("text").as("text"),
+          sp.getField("media_ref").as("media_ref"), i.as("order"))))
+    grouped
+      .select(col("doc_id"), flattened.as("flat"))
+      .select(col("doc_id"), renumbered.as("spans"))
+      .as[ExtractedDoc]
   }
 
   /** Generate `nDocs` docs + media payloads as distributed Datasets. */

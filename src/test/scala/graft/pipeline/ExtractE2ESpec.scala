@@ -57,6 +57,17 @@ class ExtractE2ESpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("salted assembly is identical to the unsalted pipeline") {
+    implicit val s = spark
+    import s.implicits._
+    val (docs, media) = Extract.generate(150, seed)
+    val a = Extract.run(docs, media).collect().map(d => d.doc_id -> d.spans).toMap
+    // bucketSize 2 forces real multi-bucket splits at this corpus's span counts
+    val b = Extract.runSalted(docs, media, bucketSize = 2)
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    assert(a == b)
+  }
+
   test("docs without media pass through with text spans only") {
     implicit val s = spark
     import s.implicits._
