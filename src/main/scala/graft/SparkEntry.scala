@@ -30,10 +30,14 @@ object SparkEntry {
     "q6_brand_stats" -> (RelationalOps.brandStats _),
     "ev1_hourly_events" -> (RelationalOps.hourlyEvents _),
     "ev2_user_sessions" -> (RelationalOps.userSessions _),
+    "ev3_props_agg" -> (RelationalOps.propsAgg _),
+    // annotation sources (TSV index + GT line parse, SURVEY S4/S5)
+    "src1_gt_summary" -> (graft.sources.Annotations.gtSummary _),
     // text analysis
     "txt1_token_count" -> (TextOps.tokenCount _),
     "txt2_quality_score" -> (TextOps.qualityScore _),
     "txt3_langid" -> (TextOps.langId _),
+    "txt4_fingerprints" -> (TextOps.fingerprints _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     "dd2_ngram_jaccard" -> (TextOps.ngramJaccard _),
@@ -91,6 +95,11 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev3_props_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt1_token_count" ->
       """SELECT doc_id,
         | CASE WHEN trim(text) = '' THEN 0

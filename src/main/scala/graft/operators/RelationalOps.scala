@@ -86,6 +86,14 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** JSON scalar extraction over the event props column (X6 in SURVEY §2.8). */
+  def propsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), round(avg("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+
   /** Gap-based sessionization (30-min inactivity) — lag window + running sum,
     * integer microsecond arithmetic so both engines agree exactly.
     */

@@ -76,6 +76,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  final val FpK = 8   // k-gram length
+  final val FpW = 16  // winnowing window
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash all
+    * k-grams, keep the minimum hash of every w-window, dedupe. Robust to
+    * local edits — shifted copies share most fingerprints. Columnar
+    * higher-order functions only (codegen'd).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text"))
+    val hashes = transform(sequence(lit(1), len - (FpK - 1)),
+      i => xxhash64(col("text").substr(i, lit(FpK))))
+    val wins = transform(sequence(lit(1), len - (FpK - 1) - (FpW - 1)),
+      i => array_min(slice(hashes, i, lit(FpW))))
+    docs(spark, dir)
+      .where(len >= FpK + FpW)
+      .select(col("doc_id"), array_distinct(wins).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"), array_min(col("fps")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Exact deduplication: hash-groupBy on md5(text); keeper = min doc_id.
     * At 100 TB this is the standard one-shuffle exact-dedup: hash partial
     * aggregation combines map-side, so only (hash, count, min) tuples shuffle.

@@ -90,6 +90,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing fingerprints: copies collide, shifted copies mostly overlap") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away today"
+    val d = Seq((1L, base), (2L, base), (3L, "PREFIX " + base), (4L, "zz qq completely different material with nothing in common whatsoever here ok"))
+      .toDF("doc_id", "text")
+    // reuse the query shape against an in-memory table by writing it out
+    val tmp = java.nio.file.Files.createTempDirectory("fp").toString
+    d.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.fingerprints(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(rows(1L) == rows(2L), "identical docs must have identical fingerprints")
+    assert(rows.contains(3L) && rows.contains(4L))
+    assert(rows(3L)._2 == rows(1L)._2 || rows(3L)._1 != rows(1L)._1) // shifted copy keeps min fp with high probability
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     import spark.implicits._
     val d = Seq((10L, "same text"), (11L, "same text"), (12L, "other"))
