@@ -18,7 +18,7 @@ object SimilarityOps {
   final val NumQueries = 10
   final val NCells = 10
   final val NProbe = 3
-  final val KMeansIters = 5
+  final val KMeansIters = 3
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -111,7 +111,7 @@ object SimilarityOps {
     * Recall vs cosineTopK is asserted in OperatorsSpec.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    // the normalized base feeds 5 Lloyd iterations + the final index: cache it
+    // the normalized base feeds the Lloyd iterations + the final index: cache it
     val base = normalized(spark, dir).cache()
     val centroids = trainCentroids(base)
     val indexed = base.withColumn("cell", assignCell(col("vec"), centroids))

@@ -73,10 +73,17 @@ object CheckpointJob {
     snapshot
   }
 
-  /** Read the completed table (all committed ranges). */
-  def readTable(tableRoot: String)(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
+  /** Read the committed table; `version` selects a historical snapshot
+    * (time travel over the manifest log), default latest.
+    */
+  def readTable(tableRoot: String, version: Int = Int.MaxValue)(
+      implicit spark: SparkSession): Dataset[ExtractedDoc] = {
     import spark.implicits._
-    val snap = Manifest.latest(tableRoot).getOrElse(sys.error(s"no snapshot under $tableRoot"))
+    val snap =
+      if (version == Int.MaxValue)
+        Manifest.latest(tableRoot).getOrElse(sys.error(s"no snapshot under $tableRoot"))
+      else
+        Manifest.read(Manifest.snapshotDir(tableRoot).resolve(s"v$version.json"))
     val paths = snap.completed.map(e => s"$tableRoot/${e.path}")
     spark.read.parquet(paths: _*).as[ExtractedDoc]
   }

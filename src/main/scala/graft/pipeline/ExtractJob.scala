@@ -51,8 +51,15 @@ object ExtractJob {
         val secs = (System.nanoTime() - t0) / 1e9
         val written = spark.read.parquet(outDir).count()
         println(f"[extract-job] docs=$written%d wall=$secs%.2fs throughput=${written / secs}%.1f docs/s -> $outDir")
+      case "stream" :: docsGlob :: outDir :: ckptDir :: rest =>
+        val seed = rest.headOption.map(_.toLong).getOrElse(GenData.DefaultSeed)
+        val q = graft.streaming.StreamingExtract.start(docsGlob, outDir, ckptDir,
+          graft.streaming.StreamingExtract.GeneratedMediaStore(seed))
+        q.awaitTermination()
+        val n = spark.read.parquet(outDir).count()
+        println(s"[extract-job] stream drained; total docs in sink: $n")
       case other =>
-        System.err.println(s"usage: ExtractJob gen <nDocs> <outDir> [seed] | run <docsDir> <mediaDir> <outDir> (got: $other)")
+        System.err.println(s"usage: ExtractJob gen <nDocs> <outDir> [seed] | run <docsDir> <mediaDir> <outDir> | stream <docsGlob> <outDir> <ckptDir> [seed] (got: $other)")
         sys.exit(2)
     }
     spark.stop()

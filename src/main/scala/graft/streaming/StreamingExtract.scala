@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.kernel.{Assemble, Detect}
+import graft.pipeline.GenData
+import graft.schema.{Doc, ExtractedDoc}
+
+/** Optional Structured-Streaming ingestion mode. The reference is batch-only
+  * (SURVEY §2.9), so this is the "bolt-on" noted there: documents arrive as
+  * parquet files in a directory, each micro-batch extracts them map-only
+  * (media payloads resolved inside the partition via a MediaStore — no
+  * shuffle, no stateful operators, so no watermark is needed), and the append
+  * sink plus checkpointLocation give exactly-once file-source semantics:
+  * a restarted query skips files recorded in the checkpoint's source log.
+  *
+  * Trigger.AvailableNow drains the current backlog and stops — the
+  * micro-batch analog of one batch spark-submit run.
+  */
+object StreamingExtract {
+
+  /** Resolves a media payload by reference inside a task. Implementations
+    * must be cheap per lookup (local KV/object store at scale).
+    */
+  trait MediaStore extends Serializable {
+    def fetch(mediaRef: String): Array[Byte]
+  }
+
+  /** Deterministic store for the generated corpus (payloads are a pure
+    * function of (seed, media_ref) — FIXTURES.md §4).
+    */
+  final case class GeneratedMediaStore(seed: Long) extends MediaStore {
+    def fetch(mediaRef: String): Array[Byte] = GenData.payload(seed, mediaRef)
+  }
+
+  def extractOne(doc: Doc, store: MediaStore): ExtractedDoc = {
+    val byOffset = doc.spans.collect {
+      case s if s.kind == "media" => s.offset -> Detect.extract(store.fetch(s.media_ref))
+    }.toMap
+    ExtractedDoc(doc.doc_id, Assemble.assemble(doc.spans, byOffset))
+  }
+
+  /** Start the streaming extraction: docsDir (parquet files, Doc schema) →
+    * outDir (append parquet), exactly-once via checkpointDir.
+    */
+  def start(docsDir: String, outDir: String, checkpointDir: String, store: MediaStore,
+            availableNow: Boolean = true)(implicit spark: SparkSession): StreamingQuery = {
+    import spark.implicits._
+    val docs: Dataset[Doc] = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Doc].schema)
+      .parquet(docsDir)
+      .as[Doc]
+    val out = docs.mapPartitions(_.map(d => extractOne(d, store)))
+    val writer = out.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

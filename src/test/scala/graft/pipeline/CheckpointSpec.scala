@@ -67,5 +67,10 @@ class CheckpointSpec extends SparkSpec {
     val again = CheckpointJob.runCheckpointed(docsDs, mediaDs, s"$base/table", nRanges = 5,
       docsDirLineage = s"$base/docs")
     assert(again.version == snap.version)
+
+    // time travel: version 2 sees exactly the first two committed ranges
+    val v2 = CheckpointJob.readTable(s"$base/table", version = 2).count()
+    assert(v2 == partial.completed.map(_.rows).sum)
+    assert(v2 < 200)
   }
 }
