@@ -50,6 +50,14 @@ object TimeQ {
           graft.pipeline.Extract.run(docs, media)
             .write.mode("overwrite").parquet(s"$baseDir/out_w$i")
         }
+      case "explain" :: names =>
+        val sf = "/root/testdata/sf0.001"
+        names.foreach { name =>
+          println(s"===== $name =====")
+          if (name == "extract_pipeline")
+            graft.pipeline.Extract.runGenerated(100)(spark).explain("formatted")
+          else SparkEntry.queries(name)(spark, sf).explain("formatted")
+        }
       case names =>
         val sf = "/root/testdata/sf0.1"
         names.foreach { name =>
