@@ -14,6 +14,16 @@ object Detect {
     case Payload.Candidates(stage, w, h, cands) => Order.finalize(yolo(stage, w, h, cands))
   }
 
+  /** Production wrapper: a missing (null) or corrupt payload yields zero
+    * regions instead of failing the task — at 10^12 docs corrupt rows are a
+    * certainty and must not kill a range. Callers count drops via the
+    * returned flag.
+    */
+  def extractSafe(payload: Array[Byte]): (Seq[Region], Boolean) =
+    if (payload == null) (Nil, true)
+    else try (extract(payload), false)
+    catch { case scala.util.control.NonFatal(_) => (Nil, true) }
+
   /** Scene-text detection tail of the DBNet path:
     * binarize > bin_thresh (/root/reference/cnstd/model/core.py:121) →
     * morphological open, k = 1 + H/512 (core.py:124-130) →

@@ -82,17 +82,24 @@ object Extract {
     import spark.implicits._
     val spans = docs.select(col("doc_id"), explode(col("spans")).as("s"))
 
+    // left join: a media span whose payload row is missing must still produce
+    // a piece (empty regions), otherwise a doc whose only spans are orphaned
+    // media would vanish from the output entirely
     val mediaTasks = spans
       .where(col("s.kind") === "media")
       .select(col("doc_id"), col("s.offset").as("offset"), col("s.media_ref").as("media_ref"))
-      .join(media, Seq("media_ref"))
+      .join(media, Seq("media_ref"), "left_outer")
       .select(col("doc_id"), col("offset"), col("media_ref"), col("payload"))
       .as[MediaTask]
 
+    val corrupt = spark.sparkContext.longAccumulator("graft.corrupt_or_missing_payloads")
     val mediaPieces: Dataset[SpanPiece] = mediaTasks.mapPartitions { it =>
       it.grouped(Params.BatchSize).flatMap { batch =>
         batch.map { t =>
-          SpanPiece(t.doc_id, t.offset, "media", "", t.media_ref, Detect.extract(t.payload))
+          // corrupt/missing payloads degrade to zero regions, never fail the task
+          val (regions, dropped) = Detect.extractSafe(t.payload)
+          if (dropped) corrupt.add(1)
+          SpanPiece(t.doc_id, t.offset, "media", "", t.media_ref, regions)
         }
       }
     }

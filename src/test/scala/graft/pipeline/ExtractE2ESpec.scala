@@ -68,6 +68,19 @@ class ExtractE2ESpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("corrupt and missing payloads degrade to zero regions, never fail") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = Seq(
+      Doc("doc-a", Seq(RawSpan("text", "hello", "", 0), RawSpan("media", "", "m-bad", 1))),
+      Doc("doc-b", Seq(RawSpan("media", "", "m-missing", 0)))).toDS()
+    val media = Seq(Media("m-bad", Array[Byte](1, 2, 3))).toDS() // bad magic
+    val out = Extract.run(docs, media).collect().map(d => d.doc_id -> d.spans).toMap
+    assert(out("doc-a") == Seq(OutSpan("text", "hello", "", 0)))
+    assert(out.contains("doc-b"), "doc with only an orphaned media span must still be emitted")
+    assert(out("doc-b").isEmpty)
+  }
+
   test("docs without media pass through with text spans only") {
     implicit val s = spark
     import s.implicits._
