@@ -58,13 +58,13 @@ object CheckpointJob {
       }
       val t0 = System.nanoTime()
       val outPath = s"$tableRoot/range=$r"
-      val out = Extract.run(inRange, media)
+      val (out, corrupt) = Extract.runWithMetrics(inRange, media)
       out.write.mode(SaveMode.Overwrite).parquet(outPath)
       val wall = (System.nanoTime() - t0) / 1e9
       val written = spark.read.parquet(outPath)
       val rows = written.count()
       val spans = written.select(sum(size(col("spans")))).head().getLong(0)
-      val entry = RangeEntry(r, lower, upper, s"range=$r", rows, spans, wall,
+      val entry = RangeEntry(r, lower, upper, s"range=$r", rows, spans, wall, corrupt.value,
         s"$docsDirLineage WHERE doc_id in [${if (lower.isEmpty) "-inf" else lower}, ${if (upper.isEmpty) "+inf" else upper})")
       snapshot = Snapshot(snapshot.version + 1, boundaries, snapshot.completed :+ entry)
       Manifest.write(tableRoot, snapshot) // atomic commit per range
@@ -107,7 +107,7 @@ object CheckpointJob {
         case Some(snap) =>
           println(s"[checkpoint] version=${snap.version} ranges=${snap.completed.size}/${snap.boundaries.length + 1}")
           snap.completed.sortBy(_.rangeId).foreach { e =>
-            println(f"[checkpoint]   range=${e.rangeId}%3d [${e.lower},${e.upper}) rows=${e.rows}%8d spans=${e.spans}%9d wall=${e.wallSecs}%7.2fs")
+            println(f"[checkpoint]   range=${e.rangeId}%3d [${e.lower},${e.upper}) rows=${e.rows}%8d spans=${e.spans}%9d corrupt=${e.corruptPayloads}%4d wall=${e.wallSecs}%7.2fs")
           }
       }
     case other =>

@@ -36,12 +36,17 @@ final case class SpanPiece(doc_id: String, offset: Int, kind: String, text: Stri
   */
 object Extract {
 
-  def run(docs: Dataset[Doc], media: Dataset[Media])(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
-    val pieces = piecesOf(docs, media)
+  def run(docs: Dataset[Doc], media: Dataset[Media])(implicit spark: SparkSession): Dataset[ExtractedDoc] =
+    runWithMetrics(docs, media)._1
+
+  /** run() plus the corrupt/missing-payload counter for lineage recording. */
+  def runWithMetrics(docs: Dataset[Doc], media: Dataset[Media])(
+      implicit spark: SparkSession): (Dataset[ExtractedDoc], org.apache.spark.util.LongAccumulator) = {
+    val (pieces, corrupt) = piecesOf(docs, media)
     val grouped = pieces.toDF()
       .groupBy("doc_id")
       .agg(sortedPieces.as("ps"))
-    assembled(grouped)
+    (assembled(grouped), corrupt)
   }
 
   /** Skew-salted variant of the final assembly for corpora with pathological
@@ -59,7 +64,7 @@ object Extract {
     */
   def runSalted(docs: Dataset[Doc], media: Dataset[Media], bucketSize: Int = 1024)(
       implicit spark: SparkSession): Dataset[ExtractedDoc] = {
-    val pieces = piecesOf(docs, media)
+    val (pieces, _) = piecesOf(docs, media)
     val partial = pieces.toDF()
       .withColumn("bucket", (col("offset") / bucketSize).cast("int"))
       .groupBy(col("doc_id"), col("bucket"))
@@ -78,7 +83,7 @@ object Extract {
     * pass-through text pieces.
     */
   private def piecesOf(docs: Dataset[Doc], media: Dataset[Media])(
-      implicit spark: SparkSession): Dataset[SpanPiece] = {
+      implicit spark: SparkSession): (Dataset[SpanPiece], org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
     val spans = docs.select(col("doc_id"), explode(col("spans")).as("s"))
 
@@ -112,7 +117,7 @@ object Extract {
           .as("regions"))
       .as[SpanPiece]
 
-    mediaPieces.unionByName(textPieces)
+    (mediaPieces.unionByName(textPieces), corrupt)
   }
 
   /** collect_list of piece structs ordered by offset (offset is the struct's

@@ -20,6 +20,7 @@ final case class RangeEntry(
     rows: Long,
     spans: Long,
     wallSecs: Double,
+    corruptPayloads: Long, // media spans whose payload was missing or corrupt
     inputDocs: String // lineage: input table path + predicate
 )
 
@@ -71,7 +72,7 @@ object Manifest {
     val bs = s.boundaries.map(q).mkString("[", ",", "]")
     val es = s.completed.map { e =>
       s"""{"rangeId":${e.rangeId},"lower":${q(e.lower)},"upper":${q(e.upper)},"path":${q(e.path)},""" +
-        s""""rows":${e.rows},"spans":${e.spans},"wallSecs":${e.wallSecs},"inputDocs":${q(e.inputDocs)}}"""
+        s""""rows":${e.rows},"spans":${e.spans},"wallSecs":${e.wallSecs},"corruptPayloads":${e.corruptPayloads},"inputDocs":${q(e.inputDocs)}}"""
     }.mkString("[", ",", "]")
     s"""{"version":${s.version},"boundaries":$bs,"completed":$es}"""
   }
@@ -89,10 +90,10 @@ object Manifest {
     }
     val entryRe =
       ("""\{"rangeId":(\d+),"lower":"((?:[^"\\]|\\.)*)","upper":"((?:[^"\\]|\\.)*)","path":"((?:[^"\\]|\\.)*)",""" +
-        """"rows":(\d+),"spans":(\d+),"wallSecs":([0-9.Ee+-]+),"inputDocs":"((?:[^"\\]|\\.)*)"\}""").r
+        """"rows":(\d+),"spans":(\d+),"wallSecs":([0-9.Ee+-]+),"corruptPayloads":(\d+),"inputDocs":"((?:[^"\\]|\\.)*)"\}""").r
     val completed = entryRe.findAllMatchIn(body).map { m =>
       RangeEntry(m.group(1).toInt, unescape(m.group(2)), unescape(m.group(3)), unescape(m.group(4)),
-        m.group(5).toLong, m.group(6).toLong, m.group(7).toDouble, unescape(m.group(8)))
+        m.group(5).toLong, m.group(6).toLong, m.group(7).toDouble, m.group(8).toLong, unescape(m.group(9)))
     }.toSeq
     Snapshot(version, boundaries, completed)
   }

@@ -20,7 +20,7 @@ class CheckpointSpec extends SparkSpec {
   test("manifest round-trips through json including escapes") {
     val dir = Files.createTempDirectory("graft-manifest").toString
     val snap = Snapshot(3, Seq("doc-a", "doc-\"b\"\n"),
-      Seq(graft.table.RangeEntry(0, "", "doc-a", "range=0", 10, 42, 1.5, "in\tput")))
+      Seq(graft.table.RangeEntry(0, "", "doc-a", "range=0", 10, 42, 1.5, 2, "in\tput")))
     Manifest.write(dir, snap)
     assert(Manifest.latest(dir).contains(snap))
     // higher version wins
