@@ -20,7 +20,7 @@ object Bench {
     "q4_shipdate_filter", "q5_priority_heavy_orders", "q6_brand_stats",
     "ev1_hourly_events", "ev2_user_sessions",
     "txt1_token_count", "txt2_quality_score", "txt3_langid",
-    "dd1_dedup_exact", "dd2_ngram_jaccard", "dd4_dedup_simhash",
+    "dd1_dedup_exact", "dd2_ngram_jaccard", "dd4_dedup_simhash", "dd5_dedup_embedding",
     "sim1_cosine_topk", "sim2_ann_ivf", "mm1_media_meta")
 
   def main(args: Array[String]): Unit = {

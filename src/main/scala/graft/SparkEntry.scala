@@ -43,6 +43,7 @@ object SparkEntry {
     "dd2_ngram_jaccard" -> (TextOps.ngramJaccard _),
     "dd3_dedup_minhash" -> ((s: SparkSession, d: String) => DedupOps.dedupMinHash(s, d)),
     "dd4_dedup_simhash" -> (DedupOps.dedupSimHash _),
+    "dd5_dedup_embedding" -> ((s: SparkSession, d: String) => SimilarityOps.dedupEmbedding(s, d)),
     // similarity search
     "sim1_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim2_ann_ivf" -> (SimilarityOps.annIvf _),
@@ -171,6 +172,12 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd5_dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
+        |ORDER BY 1, 2""".stripMargin,
     "sim1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |scored AS (

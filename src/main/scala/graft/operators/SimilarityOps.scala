@@ -106,6 +106,21 @@ object SimilarityOps {
     if (n == 0) c else c.map(_ / n)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with cosine >=
+    * threshold. Exact all-pairs at test scale (oracle-checked vs DuckDB); at
+    * 100 TB the pair generation is blocked by the IVF cells (join within
+    * cell/neighboring cells only, like annIvf's candidate step) so the cross
+    * product never materializes.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val a = emb(spark, dir).select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb(spark, dir).select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF approximate top-k: assign all vectors to cells once, probe the
     * `NProbe` nearest cells per query, exact cosine only within probed cells.
     * Recall vs cosineTopK is asserted in OperatorsSpec.
