@@ -17,7 +17,7 @@ object Bench {
   private val headline = Seq(
     "x1_extract_spans", "x2_extract_metrics",
     "q1_pricing_agg", "q2_market_revenue", "q3_nation_top_customers",
-    "q4_shipdate_filter", "q5_priority_heavy_orders", "q6_brand_stats",
+    "q4_shipdate_filter", "q5_priority_heavy_orders", "q6_brand_stats", "q7_shipping_priority",
     "ev1_hourly_events", "ev2_user_sessions",
     "txt1_token_count", "txt2_quality_score", "txt3_langid",
     "dd1_dedup_exact", "dd2_ngram_jaccard", "dd4_dedup_simhash", "dd5_dedup_embedding",

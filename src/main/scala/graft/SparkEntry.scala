@@ -28,6 +28,7 @@ object SparkEntry {
     "q4_shipdate_filter" -> (RelationalOps.shipdateFilter _),
     "q5_priority_heavy_orders" -> (RelationalOps.priorityHeavyOrders _),
     "q6_brand_stats" -> (RelationalOps.brandStats _),
+    "q7_shipping_priority" -> (RelationalOps.shippingPriority _),
     "ev1_hourly_events" -> (RelationalOps.hourlyEvents _),
     "ev2_user_sessions" -> (RelationalOps.userSessions _),
     "ev3_props_agg" -> (RelationalOps.propsAgg _),
@@ -83,6 +84,15 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts,
         | round(avg(p_retailprice), 2) AS avg_price, max(p_size) AS max_size
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
     "ev1_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         | round(sum(value), 2) AS sum_value

@@ -86,6 +86,24 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Shipping-priority style 3-way join (customer ⋈ orders ⋈ lineitem) with
+    * post-join aggregation and top-N — the multi-join/agg plan shape of
+    * TPC-H Q3. Customer is broadcast; the orders⋈lineitem join shuffles on
+    * the key both sides are later grouped by.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(20)
+  }
+
   /** JSON scalar extraction over the event props column (X6 in SURVEY §2.8). */
   def propsAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
