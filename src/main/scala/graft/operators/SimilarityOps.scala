@@ -72,7 +72,7 @@ object SimilarityOps {
     * distributed (cell, pos) average — the standard Spark k-means shape.
     */
   private[operators] def trainCentroids(base: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
-    val dim = base.select(size(col("vec"))).head().getInt(0)
+    val dim = Dim // fixed embedding dimensionality; avoids a per-train action
     var centroids: IndexedSeq[IndexedSeq[Double]] = base
       .orderBy("vec_id").limit(NCells).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
