@@ -3,9 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.pipeline.Extract
 
-/** Per-round benchmark: times the headline queries on SPARK_GRAFT_SF_DIR and
-  * measures end-to-end extraction throughput (the BASELINE.json metric).
-  * Prints ONE JSON line.
+/** Per-round benchmark: measures end-to-end extraction throughput (the
+  * BASELINE.json metric) and times the headline queries on
+  * SPARK_GRAFT_SF_DIR. Emits ONE JSON line as the final stdout line AND
+  * writes it to BENCH/last.json (the round-1 bench was unparseable because
+  * sbt's log decoration wrapped stdout; build.sbt now sets
+  * `run / outputStrategy := StdoutOutput` and the file is the fallback).
+  *
+  * Protocol notes:
+  *  - extraction is measured FIRST, before any query runs, so query-phase
+  *    debris (cached blocks, GC pressure, codegen fallbacks) cannot
+  *    contaminate the headline number (round-1 driver bench recorded 4.4k
+  *    docs/s for code that sustains ~60-100k in isolation);
+  *  - queries are fully materialized through the `noop` sink — `.count()`
+  *    let Catalyst prune projections and drop final sorts, timing little
+  *    more than a parquet row count for map-only queries;
+  *  - a query failure is recorded in `"failed"` instead of silently
+  *    contributing a normal-looking elapsed time.
   *
   * dd3_dedup_minhash is excluded from the headline set: on this synthetic
   * corpus ~29% of ALL doc pairs are true near-duplicates (tiny shared
@@ -14,7 +28,8 @@ import graft.pipeline.Extract
   * in Verify (sf0.01) and its own tests.
   */
 object Bench {
-  private val headline = Seq(
+  /** Public: CodegenGuardSpec replays this exact set under fail-fast codegen. */
+  val headline = Seq(
     "x1_extract_spans", "x2_extract_metrics",
     "q1_pricing_agg", "q2_market_revenue", "q3_nation_top_customers",
     "q4_shipdate_filter", "q5_priority_heavy_orders", "q6_brand_stats", "q7_shipping_priority",
@@ -30,23 +45,14 @@ object Bench {
     implicit val s: SparkSession = spark
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warm the JVM/codegen paths once on the smallest sf (incl. the
-    // extraction plan: Janino + C2 compilation otherwise lands in the
-    // first timed run)
-    SparkEntry.queries("q1_pricing_agg")(spark, "/root/testdata/sf0.001").count()
-    Extract.runGenerated(2000).foreach(_ => ())
-
-    val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-
-    // extraction throughput: docs/sec end to end over a pre-written input
-    // table (generation and input write are NOT part of the measured job,
-    // matching the ScalingBench protocol), read -> extract -> write parquet
-    val nDocs = graft.operators.ExtractOps.nDocsFor(sfDir) * 12
+    // ---- phase 1: extraction throughput, in a clean JVM/session ----
+    // docs/sec end to end over a pre-written input table (generation and
+    // input write are NOT part of the measured job, matching the
+    // ScalingBench protocol): read parquet -> extract -> write parquet.
+    // x50 puts the sf0.1 corpus at 400k docs (~4-6s of extraction at
+    // local[32]): large enough that per-job fixed overhead (~0.5s) is noise,
+    // small enough to generate once and reuse across rounds
+    val nDocs = graft.operators.ExtractOps.nDocsFor(sfDir) * 50
     val benchBase = s"/tmp/graft_bench_input_$nDocs"
     if (!new java.io.File(s"$benchBase/docs/_SUCCESS").exists()) {
       val (docs, media) = Extract.generate(nDocs)
@@ -56,19 +62,44 @@ object Bench {
     import spark.implicits._
     val bd = spark.read.parquet(s"$benchBase/docs").as[graft.schema.Doc]
     val bm = spark.read.parquet(s"$benchBase/media").as[graft.schema.Media]
-    // warm the exact plan, then best of 2
+    // warm the exact plan (Janino + C2 compilation dominates cold runs), then best of 2
     Extract.run(bd, bm).write.mode("overwrite").parquet(s"$benchBase/warm")
-    val extractSecs = (1 to 2).map { i =>
+    val extractSecs = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       Extract.run(bd, bm).write.mode("overwrite").parquet(s"$benchBase/out")
       (System.nanoTime() - t0) / 1e9
     }.min
     val docsPerSec = nDocs / extractSecs
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // ---- phase 2: headline queries, fully materialized ----
+    // Warm EVERY query once at the smallest sf first: plan shapes are
+    // sf-independent, so this pays each query's one-time Catalyst + Janino +
+    // C2 compilation outside the timed run (measured: 8-30x of a 500-row
+    // query's steady-state time, under VM cpu throttle up to 190s once).
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val results = headline.map { name =>
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"extract_docs":$nDocs,"extract_secs":$extractSecs%.3f,"extract_docs_per_sec":$docsPerSec%.1f}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"extract_docs":$nDocs,"extract_secs":$extractSecs%.3f,"extract_docs_per_sec":$docsPerSec%.1f}"""
+    new java.io.File("BENCH").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last.json"), json + "\n")
     spark.stop()
+    // guaranteed-last stdout line (after spark.stop so no executor logs follow)
+    println(json)
   }
 }

@@ -58,6 +58,12 @@ object TimeQ {
             graft.pipeline.Extract.runGenerated(100)(spark).explain("formatted")
           else SparkEntry.queries(name)(spark, sf).explain("formatted")
         }
+      case "noop" :: sf :: names =>
+        names.foreach { name =>
+          for (i <- 1 to 2) time(s"$name noop#$i") {
+            SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+          }
+        }
       case names =>
         val sf = "/root/testdata/sf0.1"
         names.foreach { name =>

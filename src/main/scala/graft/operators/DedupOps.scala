@@ -9,17 +9,57 @@ import org.apache.spark.sql.functions._
   * expressions, no explode blowup) → 16 bands x 4 rows → band-bucket
   * self-join → exact-Jaccard verification of the (few) candidates.
   * Sub-quadratic: only docs sharing a band bucket ever pair, and the exact
-  * check runs on candidates only. SimHash: 64-bit signature from token
-  * hashes; near-dups via 4x16-bit band join + bit_count Hamming filter
-  * (pigeonhole: distance <= 3 pairs always share a band).
+  * check runs on candidates only.
+  *
+  * SimHash: 60-bit signature from PORTABLE token hashes (polynomial rolling
+  * hash — the same arithmetic is expressible in DuckDB SQL, so the pair set
+  * is value-checked by the driver's oracle); near-dups via a two-level band
+  * join + bit_count Hamming filter. Completeness (pigeonhole, d <= 3 diffs):
+  * one of the 4 15-bit bands has 0 diffs; within that band's bucket the
+  * remaining 45 bits still carry <= 3 diffs, so one of 4 sub-chunks of those
+  * 45 bits also has 0 diffs — every d<=3 pair shares a (band, bandVal, sub,
+  * subVal) key. The sub-split bounds bucket occupancy: a plain 4x15-bit
+  * banding has only 2^15 buckets/band (at 10^9 docs every bucket holds ~10^4
+  * docs and the self-join degenerates quadratically); with the 27-bit
+  * compound key the expected occupancy at 10^9 docs is ~10 docs/bucket.
   */
 object DedupOps {
   final val NumPerms = 64
-  final val NumBands = 16
+  // 32 bands x 2 rows: band-match probability s^2 per band, so a true pair at
+  // jaccard s is missed with (1-s^2)^32 — 6e-7 at s=0.6, 1e-4 at s=0.5 —
+  // vs the 16x4 scheme whose miss rate at s=0.6 is a whopping 0.11. The
+  // corpus is degenerately self-similar (tens of thousands of pairs sit at
+  // 0.45-0.65), so recall right at the gate matters more than candidate
+  // pruning sharpness.
+  final val NumBands = 32
   final val RowsPerBand = NumPerms / NumBands
+
+  // Portable polynomial rolling hash parameters (shared with TextOps
+  // fingerprints; mirrored literally in the DuckDB oracle SQL).
+  final val HashB1 = 257L
+  final val HashM1 = 1000000007L
+  final val HashB2 = 131L
+  final val HashM2 = 998244353L
+
+  final val SimBits = 60            // signature width (fits BIGINT in both engines)
+  final val SimBands = 4            // 4 x 15-bit primary bands
+  final val BandBits = SimBits / SimBands
+  final val MaxHamming = 3
+  /** Sub-chunks (start, len) of the 45 remaining bits once a band is removed. */
+  final val SubBounds: Seq[(Int, Int)] = Seq((0, 12), (12, 11), (23, 11), (34, 11))
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Horner-rule polynomial hash of a string column, mod m — O(len) integer
+    * arithmetic both Spark and DuckDB evaluate identically (codepoints via
+    * ascii(), left-to-right fold, no wrapping overflow: acc < m <= 1e9 so
+    * acc*b + c < 2^63). Callers must exclude empty strings (sequence(1, 0)
+    * would yield a DESCENDING range).
+    */
+  private[operators] def polyHash(s: Column, b: Long, m: Long): Column =
+    aggregate(sequence(lit(1), length(s)), lit(0L),
+      (acc, i) => (acc * b + ascii(s.substr(i, lit(1)))) % m)
 
   /** Distinct character-trigram shingle hashes per doc. */
   private[operators] def shingleHashes(d: DataFrame): DataFrame = {
@@ -72,10 +112,12 @@ object DedupOps {
           .cast("double") / NumPerms, 4).as("est_sim"))
     // exact verification on candidates only (sets are per-doc bounded);
     // prefilter on signature agreement cuts the verification join for
-    // candidates whose estimated similarity is far below the gate
+    // candidates whose estimated similarity is far below the gate. Slack is
+    // 0.3 = 4.9 sigma at 64 perms (sigma <= sqrt(0.25/64) ~ 0.0625), so the
+    // probability a true gate-level pair is dropped here is ~5e-7.
     val sets = sh.groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
     withEst
-      .where(col("est_sim") >= minJaccard - 0.15)
+      .where(col("est_sim") >= minJaccard - 0.3)
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("est_sim"),
@@ -85,22 +127,48 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per doc from whitespace-token hashes. */
+  /** 60-bit SimHash per doc from portable whitespace-token hashes: bit i's
+    * vote for a token is parity of (h1*(i+1) + h2) mod M1 — a cheap
+    * two-hash family both engines compute with plain integer arithmetic.
+    * Empty tokens are excluded (empty text yields no signature).
+    */
   def simHashSignatures(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums: Seq[Column] = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+      .where(col("tok") =!= "")
+      .select(col("doc_id"),
+        polyHash(col("tok"), HashB1, HashM1).as("h1"),
+        polyHash(col("tok"), HashB2, HashM2).as("h2"))
+    val bitSums: Seq[Column] = (0 until SimBits).map { i =>
+      sum(when(((col("h1") * (i + 1) + col("h2")) % HashM1) % 2 === 1, 1).otherwise(-1)).as(s"b$i")
     }
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        (0 until SimBits).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash signatures + near-dup pairs at Hamming distance <= 3 via the
-    * 4x16-bit band join. Output: (doc_a, doc_b, hamming).
+  /** The 16 compound band keys for one signature column: for each primary
+    * band b (15 bits) and each sub-chunk s of the remaining 45 bits, a single
+    * 31-bit key (comboId << 27 | bandVal << 12 | subVal). See the object doc
+    * for the completeness argument and occupancy math.
+    */
+  private[operators] def simHashKeys(sig: Column): Seq[Column] =
+    for { b <- 0 until SimBands; s <- 0 until SubBounds.length } yield {
+      val cv = shiftright(sig, BandBits * b).bitwiseAND(lit((1L << BandBits) - 1))
+      // remaining 45 bits with band b's bits removed
+      val low = sig.bitwiseAND(lit((1L << (BandBits * b)) - 1))
+      val high = shiftleft(shiftright(sig, BandBits * (b + 1)), BandBits * b)
+      val r = low.bitwiseOR(high)
+      val (st, ln) = SubBounds(s)
+      val scv = shiftright(r, st).bitwiseAND(lit((1L << ln) - 1))
+      shiftleft(lit((b * SubBounds.length + s).toLong), 27)
+        .bitwiseOR(shiftleft(cv, 12)).bitwiseOR(scv)
+    }
+
+  /** SimHash signatures + near-dup pairs at Hamming distance <= MaxHamming
+    * via the two-level band join. Output: (doc_a, doc_b, hamming) —
+    * value-checked by the driver's DuckDB oracle (all-pairs at sf scale).
     */
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame =
     simHashPairs(docs(spark, dir))
@@ -108,16 +176,14 @@ object DedupOps {
   def simHashPairs(d: DataFrame): DataFrame = {
     val sig = simHashSignatures(d)
     val chunks = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)): _*)).as(Seq("chunk", "cv")))
+      explode(array(simHashKeys(col("simhash")): _*)).as("k"))
     chunks.as("a")
       .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
-      .where(col("hamming") <= 3)
+      .where(col("hamming") <= MaxHamming)
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -11,7 +11,15 @@ import org.apache.spark.sql.expressions.Window
   * queries probe only `NProbe` cells, so the scored candidate set shrinks by
   * ~`NCells / NProbe` — at 100 TB the cell assignment is one scan + small
   * centroid broadcast per Lloyd iteration (the model is O(cells x dim),
-  * driver-side by design, like MLlib k-means).
+  * driver-side by design, like MLlib k-means), and NCells scales with N
+  * (cells ~ sqrt(N) keeps both the model and the per-cell candidate lists
+  * bounded).
+  *
+  * All centroid scoring runs in a compact broadcast-kernel `mapPartitions`
+  * loop: the earlier expression-tree form unrolled NCells x Dim = 640
+  * multiply-adds twice into one Project, blew Janino's 64 KB method limit,
+  * and silently fell back to interpreted evaluation (~7x slower). Per-pair
+  * scoring (a single 64-term dot) stays a codegen'd expression.
   */
 object SimilarityOps {
   final val TopK = 5
@@ -33,12 +41,11 @@ object SimilarityOps {
     * tree (left-associated sum, identical arithmetic order to a sequential
     * loop). The HOF form `aggregate(zip_with(...))` materializes a Dim-length
     * array per invocation — at 12.5M pairs that alone cost ~60x wall time.
+    * 64 terms is well under the 64 KB Janino method cap; do NOT use this
+    * per-centroid (NCells copies in one Project is what broke codegen).
     */
   private def dot(x: Column, y: Column): Column =
     (0 until Dim).map(i => x.getItem(i).cast("double") * y.getItem(i).cast("double")).reduce(_ + _)
-
-  private def dotLit(x: Column, c: Seq[Double]): Column =
-    (0 until Dim).map(i => x.getItem(i).cast("double") * lit(c(i))).reduce(_ + _)
 
   /** Brute-force exact top-k cosine neighbors for the first `NumQueries`
     * vectors. The query side is tiny → broadcast; ranking via window with a
@@ -66,6 +73,43 @@ object SimilarityOps {
       transform(col("embedding"), x => x.cast("double") / n).as("vec"))
   }
 
+  /** Score every vector against all centroids in a tight primitive-array loop
+    * (broadcast model, one pass, stays out of the Project so the surrounding
+    * plan keeps whole-stage codegen). Emits (vec_id, vec, cell, probes):
+    * `cell` = argmax-cosine centroid (first index wins ties, same rule as the
+    * previous expression form), `probes` = top-`nProbe` cells by (cos desc,
+    * index asc). Arithmetic is the same left-to-right double accumulation as
+    * the expression form, so assignments are bit-identical.
+    */
+  private def cellAssignments(base: DataFrame, centroids: IndexedSeq[IndexedSeq[Double]],
+                              nProbe: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cn: Array[Array[Double]] = centroids.map(c => l2norm(c).toArray).toArray
+    val bc = spark.sparkContext.broadcast(cn)
+    base.select(col("vec_id"), col("vec")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        val nc = cents.length
+        it.map { case (id, vseq) =>
+          val v = vseq.toArray
+          val scores = new Array[Double](nc)
+          var k = 0
+          while (k < nc) {
+            val c = cents(k)
+            var s = 0.0
+            var i = 0
+            while (i < v.length) { s += v(i) * c(i); i += 1 }
+            scores(k) = s
+            k += 1
+          }
+          val order = Array.range(0, nc).sortBy(i => (-scores(i), i))
+          (id, vseq, order(0), order.take(math.min(nProbe, nc)).toSeq)
+        }
+      }
+      .toDF("vec_id", "vec", "cell", "probes")
+  }
+
   /** Deterministic Lloyd iterations: init = the first `NCells` vectors by
     * vec_id, cosine assignment, centroid = member mean. Centroids are a
     * driver-side model (NCells x dim doubles), updated per iteration from a
@@ -77,7 +121,7 @@ object SimilarityOps {
       .orderBy("vec_id").limit(NCells).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     for (_ <- 0 until KMeansIters) {
-      val assigned = base.withColumn("cell", assignCell(col("vec"), centroids))
+      val assigned = cellAssignments(base, centroids, 1)
       val sums = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg("v").as("m"))
@@ -92,38 +136,156 @@ object SimilarityOps {
     centroids
   }
 
-  /** argmax over cosine-vs-centroid; first index wins ties. */
-  private def assignCell(vec: Column, centroids: IndexedSeq[IndexedSeq[Double]]): Column = {
-    val cosArr = array(centroids.map(c => dotLit(vec, l2norm(c))): _*)
-    (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
-  }
-
-  /** top-nProbe cell indices by centroid cosine. */
-  private def probeCells(vec: Column, centroids: IndexedSeq[IndexedSeq[Double]], nProbe: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dotLit(vec, l2norm(c)).as("cos"), lit(i).as("cell"))
-    }: _*)
-    transform(slice(reverse(array_sort(scored)), 1, nProbe), s => s.getField("cell"))
-  }
-
   private def l2norm(c: IndexedSeq[Double]): IndexedSeq[Double] = {
     val n = math.sqrt(c.map(x => x * x).sum)
     if (n == 0) c else c.map(_ / n)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with cosine >=
-    * threshold. Exact all-pairs at test scale (oracle-checked vs DuckDB); at
-    * 100 TB the pair generation is blocked by the IVF cells (join within
-    * cell/neighboring cells only, like annIvf's candidate step) so the cross
-    * product never materializes.
+  /** Exact cosine over candidate pairs in a primitive-array kernel, with the
+    * same arithmetic as DuckDB's list_cosine_similarity after 4dp HALF_UP
+    * rounding: float->double products, left-to-right accumulation.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    // All-pairs cosine as a broadcast kernel: the comparison side is tiny
-    // (n x Dim floats — the same thing a broadcast join would ship), and the
-    // primitive-array loop beats the BroadcastNestedLoopJoin + 64-term
-    // expression form ~100x (12.5M pairs: 87s -> <1s). Arithmetic order is
-    // the same sequential left-to-right double accumulation, so results are
-    // bit-identical to the expression form (and DuckDB-oracle-checked).
+  private def verifiedPairs(spark: SparkSession, pairs: org.apache.spark.sql.Dataset[(Long, Long, Seq[Float], Seq[Float])],
+                            threshold: Double): DataFrame = {
+    import spark.implicits._
+    pairs.mapPartitions { it =>
+      it.flatMap { case (ida, idb, eaSeq, ebSeq) =>
+        val ea = eaSeq.toArray
+        val eb = ebSeq.toArray
+        var na = 0.0; var nb = 0.0; var dotAb = 0.0
+        var i = 0
+        while (i < ea.length) {
+          na += ea(i).toDouble * ea(i).toDouble
+          nb += eb(i).toDouble * eb(i).toDouble
+          dotAb += ea(i).toDouble * eb(i).toDouble
+          i += 1
+        }
+        val raw = dotAb / math.sqrt(na) / math.sqrt(nb)
+        // exact HALF_UP rounding only for near-threshold survivors
+        if (raw < threshold - 0.5e-4) None
+        else {
+          val cos = BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cos >= threshold) Some((ida, idb, cos)) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: EXACT all-pairs at threshold,
+    * distributed via the classic block-pair ("triangle") join — vectors are
+    * hashed into `nBlocks` blocks, every unordered block pair (p, q) becomes
+    * one reduce group holding blocks p and q, and each group computes only
+    * its own cross product. Replication factor is nBlocks (one shuffle of
+    * nBlocks copies of the table), per-task memory is O(2n/nBlocks x Dim),
+    * and NOTHING is collected to the driver. The O(n^2) pair compute is
+    * irreducible for an exact join at cos >= 0.35 (pairs 69 degrees apart
+    * share no geometric cell — see dedupEmbeddingApprox for the sub-quadratic
+    * approximate regime), so the design goal is spreading it: n^2/2 dots over
+    * nBlocks(nBlocks+1)/2 tasks, nBlocks chosen so a task's two blocks fit in
+    * memory (at 100 TB: nBlocks ~ n / 10^5).
+    *
+    * Output is bit-identical to dedupEmbeddingExact (same per-pair
+    * arithmetic, same pair set) — asserted in OperatorsSpec; value-checked
+    * against DuckDB by the driver.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.35,
+                     nBlocks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val rows = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+    val nb = nBlocks
+    // each row goes to every block pair containing its block: group (p<=q)
+    // receives block-p rows once (j=q) and block-q rows once (j=p)
+    val expanded = rows.flatMap { case (id, e) =>
+      val bi = (id % nb).toInt
+      (0 until nb).map { j =>
+        val p = math.min(bi, j)
+        val q = math.max(bi, j)
+        (p * nb + q, bi, id, e)
+      }
+    }
+    val out = expanded.groupByKey(_._1).flatMapGroups { (bp, it) =>
+      val p = bp / nb
+      val q = bp % nb
+      val members = it.map { case (_, blk, id, e) =>
+        val v = e.toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        (blk, id, v, math.sqrt(s))
+      }.toArray
+      def pair(a: (Int, Long, Array[Float], Double), b: (Int, Long, Array[Float], Double)) = {
+        val (lo, hi) = if (a._2 < b._2) (a, b) else (b, a)
+        val ea = lo._3; val eb = hi._3
+        var dotAb = 0.0; var i = 0
+        while (i < ea.length) { dotAb += ea(i).toDouble * eb(i).toDouble; i += 1 }
+        val raw = dotAb / lo._4 / hi._4
+        // exact HALF_UP rounding only for near-threshold survivors
+        if (raw < threshold - 0.5e-4) None
+        else {
+          val cos = BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cos >= threshold) Some((lo._2, hi._2, cos)) else None
+        }
+      }
+      if (p == q) {
+        val ms = members.sortBy(_._2)
+        for {
+          i <- ms.indices.iterator
+          j <- (i + 1) until ms.length
+          r <- pair(ms(i), ms(j))
+        } yield r
+      } else {
+        val ps = members.filter(_._1 == p)
+        val qs = members.filter(_._1 == q)
+        for {
+          a <- ps.iterator
+          b <- qs
+          r <- pair(a, b)
+        } yield r
+      }
+    }
+    out.toDF("vec_a", "vec_b", "cos").orderBy("vec_a", "vec_b")
+  }
+
+  /** Approximate (sub-quadratic) regime of the embedding near-dup join:
+    * IVF-cell-blocked candidates — assign every vector to its top-`nProbe`
+    * cells, pair only vectors sharing a cell, verify candidates with exact
+    * cosine. Candidates shrink by ~NCells/nProbe^2, but recall < 1 at weak
+    * thresholds: a pair at cos 0.35 is ~69 degrees apart and often shares no
+    * cell (measured recall ~0.7 at threshold 0.35 on the test corpus; -> 1 as
+    * the threshold rises). OperatorsSpec gates candidates SUBSET-of-exact and
+    * recall; use dedupEmbedding when the output must be exact.
+    */
+  def dedupEmbeddingApprox(spark: SparkSession, dir: String, threshold: Double = 0.35,
+                           nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    // cache only for the Lloyd iterations; unpersist before returning so the
+    // cached blocks can't leak into later queries in the same session
+    val base = normalized(spark, dir).persist()
+    val centroids = trainCentroids(base)
+    base.unpersist(blocking = false)
+    val probed = cellAssignments(base, centroids, nProbe)
+      .select(col("vec_id"), explode(col("probes")).as("cell"))
+    val cand = probed.as("a")
+      .join(probed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val pairs = cand
+      .join(e.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("embedding", "emb_a"), "vec_a")
+      .join(e.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("embedding", "emb_b"), "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"))
+      .as[(Long, Long, Seq[Float], Seq[Float])]
+    verifiedPairs(spark, pairs, threshold).orderBy("vec_a", "vec_b")
+  }
+
+  /** Exact all-pairs reference for dedupEmbedding: broadcast the full table
+    * as a primitive-array kernel side. SMALL-SCALE ORACLE ONLY — the
+    * `collect()` makes this a driver OOM beyond test scale; the blocked path
+    * above is the production operator, and OperatorsSpec asserts the two are
+    * identical on the test corpora.
+    */
+  def dedupEmbeddingExact(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     import spark.implicits._
     val rows = emb(spark, dir).select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
@@ -144,7 +306,6 @@ object SimilarityOps {
           var dotAb = 0.0; var i = 0
           while (i < ea.length) { dotAb += ea(i).toDouble * eb(i).toDouble; i += 1 }
           val raw = dotAb / na / nb
-          // exact HALF_UP rounding only for near-threshold survivors
           if (raw < threshold - 0.5e-4) None
           else {
             val cos = BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -158,16 +319,19 @@ object SimilarityOps {
 
   /** IVF approximate top-k: assign all vectors to cells once, probe the
     * `NProbe` nearest cells per query, exact cosine only within probed cells.
-    * Recall vs cosineTopK is asserted in OperatorsSpec.
+    * Recall vs cosineTopK is asserted in OperatorsSpec. Centroid scoring runs
+    * in the broadcast kernel; only the per-candidate dot (64 terms) is an
+    * expression, so the whole plan stays inside whole-stage codegen.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    // the normalized base feeds the Lloyd iterations + the final index: cache it
-    val base = normalized(spark, dir).cache()
+    // cache only for the Lloyd iterations (see dedupEmbedding)
+    val base = normalized(spark, dir).persist()
     val centroids = trainCentroids(base)
-    val indexed = base.withColumn("cell", assignCell(col("vec"), centroids))
+    base.unpersist(blocking = false)
+    val indexed = cellAssignments(base, centroids, NProbe)
     val queries = indexed.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
-        explode(probeCells(col("vec"), centroids, NProbe)).as("cell"))
+        explode(col("probes")).as("cell"))
     val cand = indexed.join(broadcast(queries), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), dot(col("q_vec"), col("vec")).as("cos"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the `documents`
@@ -79,22 +79,35 @@ object TextOps {
   final val FpK = 8   // k-gram length
   final val FpW = 16  // winnowing window
 
+  /** Portable k-gram hash at 1-based position `i`: unrolled Horner fold of
+    * FpK codepoints mod DedupOps.HashM1 — the identical arithmetic is
+    * mirrored in the DuckDB oracle SQL, so the full fingerprint set is
+    * value-checked by the driver (not just a count).
+    */
+  private def kgramHash(s: Column, i: Column): Column =
+    (0 until FpK).foldLeft(lit(0L): Column)((acc, j) =>
+      (acc * DedupOps.HashB1 + ascii(s.substr(i + lit(j), lit(1)))) % DedupOps.HashM1)
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash all
     * k-grams, keep the minimum hash of every w-window, dedupe. Robust to
     * local edits — shifted copies share most fingerprints. Columnar
-    * higher-order functions only (codegen'd).
+    * higher-order functions only (codegen'd). Output: one (doc_id, fp) row
+    * per distinct fingerprint.
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val len = length(col("text"))
     val hashes = transform(sequence(lit(1), len - (FpK - 1)),
-      i => xxhash64(col("text").substr(i, lit(FpK))))
-    val wins = transform(sequence(lit(1), len - (FpK - 1) - (FpW - 1)),
-      i => array_min(slice(hashes, i, lit(FpW))))
+      i => kgramHash(col("text"), i))
+    // materialize the k-gram hash array once per row, THEN window over it —
+    // inlining `hashes` into the window lambda would re-evaluate the whole
+    // array per window unless codegen CSE saves it
+    val wins = transform(sequence(lit(1), size(col("hs")) - (FpW - 1)),
+      i => array_min(slice(col("hs"), i, lit(FpW))))
     docs(spark, dir)
       .where(len >= FpK + FpW)
-      .select(col("doc_id"), array_distinct(wins).as("fps"))
-      .select(col("doc_id"), size(col("fps")).as("n_fps"), array_min(col("fps")).as("min_fp"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), explode(array_distinct(wins)).as("fp"))
+      .orderBy("doc_id", "fp")
   }
 
   /** Exact deduplication: hash-groupBy on md5(text); keeper = min doc_id.

@@ -85,7 +85,9 @@ object Extract {
   private def piecesOf(docs: Dataset[Doc], media: Dataset[Media])(
       implicit spark: SparkSession): (Dataset[SpanPiece], org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
-    val spans = docs.select(col("doc_id"), explode(col("spans")).as("s"))
+    // explode_outer: a doc with an empty spans array keeps one row (s = null)
+    // instead of vanishing — see the emptyDocs branch below
+    val spans = docs.select(col("doc_id"), explode_outer(col("spans")).as("s"))
 
     // left join: a media span whose payload row is missing must still produce
     // a piece (empty regions), otherwise a doc whose only spans are orphaned
@@ -117,7 +119,20 @@ object Extract {
           .as("regions"))
       .as[SpanPiece]
 
-    (mediaPieces.unionByName(textPieces), corrupt)
+    // A doc whose spans array is empty would otherwise vanish from the
+    // output, while the single-threaded oracle emits ExtractedDoc(id, Seq()).
+    // explode_outer kept one s=null row per such doc; a sentinel media-kind
+    // piece with an EMPTY (not null) regions array flattens to zero spans in
+    // assembly, so the doc appears with spans=[] — no extra scan or shuffle.
+    val emptyDocs: Dataset[SpanPiece] = spans
+      .where(col("s").isNull)
+      .select(col("doc_id"), lit(0).as("offset"), lit("media").as("kind"),
+        lit("").as("text"), lit("").as("media_ref"),
+        array().cast("array<struct<kind:string,x0:int,y0:int,x1:int,y1:int,score:double>>")
+          .as("regions"))
+      .as[SpanPiece]
+
+    (mediaPieces.unionByName(textPieces).unionByName(emptyDocs), corrupt)
   }
 
   /** collect_list of piece structs ordered by offset (offset is the struct's

@@ -58,12 +58,21 @@ object Annotations {
       .withColumn("ignored", (col("label") === "###").cast("int"))
   }
 
+  /** Fixed side-table path for the parsed annotation rows at size n. Written
+    * by gtSummary so the driver's DuckDB oracle can aggregate the SAME rows
+    * (the generator PRNG is not expressible in SQL; the parse+aggregate
+    * pipeline is what the oracle value-checks).
+    */
+  def sideTable(n: Int): String = s"/root/repo/target/oracle_side/src1_ann_$n"
+
   /** Per-image annotation summary (queries entry): box/ignore counts and the
     * enclosing-bbox reduce (A5 analog: array_min/array_max over coords).
     */
   def gtSummary(spark: SparkSession, dir: String): DataFrame = {
     val n = if (dir.contains("sf0.1")) 2000 else if (dir.contains("sf0.01")) 500 else 100
-    parseAnnotations(spark, 42L, n)
+    val parsed = parseAnnotations(spark, 42L, n)
+    parsed.coalesce(1).write.mode("overwrite").parquet(sideTable(n))
+    spark.read.parquet(sideTable(n))
       .withColumn("xs", array(col("poly")(0), col("poly")(2), col("poly")(4), col("poly")(6)))
       .withColumn("ys", array(col("poly")(1), col("poly")(3), col("poly")(5), col("poly")(7)))
       .groupBy("img")

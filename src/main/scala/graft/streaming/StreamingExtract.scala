@@ -33,9 +33,15 @@ object StreamingExtract {
     def fetch(mediaRef: String): Array[Byte] = GenData.payload(seed, mediaRef)
   }
 
+  /** One doc through the kernels. Matches the batch pipeline's robustness
+    * contract (Extract.piecesOf): a corrupt payload or a failed/missing fetch
+    * degrades to zero regions for that span instead of failing the query.
+    */
   def extractOne(doc: Doc, store: MediaStore): ExtractedDoc = {
     val byOffset = doc.spans.collect {
-      case s if s.kind == "media" => s.offset -> Detect.extract(store.fetch(s.media_ref))
+      case s if s.kind == "media" =>
+        val payload = try store.fetch(s.media_ref) catch { case _: Exception => null }
+        s.offset -> Detect.extractSafe(payload)._1
     }.toMap
     ExtractedDoc(doc.doc_id, Assemble.assemble(doc.spans, byOffset))
   }

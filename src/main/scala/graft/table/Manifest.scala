@@ -20,7 +20,12 @@ final case class RangeEntry(
     rows: Long,
     spans: Long,
     wallSecs: Double,
-    corruptPayloads: Long, // media spans whose payload was missing or corrupt
+    // Media spans whose payload was missing or corrupt. BEST-EFFORT: sourced
+    // from a LongAccumulator incremented inside mapPartitions, which Spark
+    // re-counts under task retries / speculative execution, so this can
+    // over-count under failures. Treat as an operational signal; an exact
+    // count would require flagging dropped pieces in the written output.
+    corruptPayloads: Long,
     inputDocs: String // lineage: input table path + predicate
 )
 
@@ -84,9 +89,32 @@ object Manifest {
     val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     val version = """"version":(\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
     val boundaries = {
-      val arr = """"boundaries":\[(.*?)\]""".r.findFirstMatchIn(body).get.group(1)
-      if (arr.isEmpty) Seq.empty
-      else """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr).map(m => unescape(m.group(1))).toSeq
+      // Escape-aware scan: boundaries are doc_ids sampled from input data and
+      // may contain ']' — a non-greedy `\[(.*?)\]` regex would stop at the
+      // first ']' and silently truncate the list, corrupting resume ranges.
+      // Consume quoted strings (the only array element type we write) until
+      // the ']' that closes the array OUTSIDE any string.
+      val start = body.indexOf("\"boundaries\":[")
+      require(start >= 0, s"no boundaries array in $p")
+      var i = start + "\"boundaries\":[".length
+      val out = Seq.newBuilder[String]
+      var closed = false
+      while (!closed) {
+        body.charAt(i) match {
+          case ']' => closed = true
+          case '"' =>
+            val sb = new StringBuilder
+            i += 1
+            while (body.charAt(i) != '"') {
+              if (body.charAt(i) == '\\') { sb += body.charAt(i); i += 1 }
+              sb += body.charAt(i); i += 1
+            }
+            out += unescape(sb.toString)
+            i += 1
+          case _ => i += 1 // comma / whitespace
+        }
+      }
+      out.result()
     }
     val entryRe =
       ("""\{"rangeId":(\d+),"lower":"((?:[^"\\]|\\.)*)","upper":"((?:[^"\\]|\\.)*)","path":"((?:[^"\\]|\\.)*)",""" +

@@ -99,10 +99,33 @@ class OperatorsSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("fp").toString
     d.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val rows = TextOps.fingerprints(spark, tmp).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
-    assert(rows(1L) == rows(2L), "identical docs must have identical fingerprints")
-    assert(rows.contains(3L) && rows.contains(4L))
-    assert(rows(3L)._2 == rows(1L)._2 || rows(3L)._1 != rows(1L)._1) // shifted copy keeps min fp with high probability
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L), "identical docs must have identical fingerprint sets")
+    // shifted copy shares most fingerprints (winnowing's guarantee)
+    val overlap = (byDoc(1L) & byDoc(3L)).size.toDouble / byDoc(1L).size
+    assert(overlap >= 0.5, s"shifted copy shares only $overlap of fingerprints")
+    // unrelated doc shares (essentially) nothing
+    assert((byDoc(1L) & byDoc(4L)).isEmpty)
+  }
+
+  test("block-pair embedding dedup equals the exact all-pairs oracle") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = pairs(SimilarityOps.dedupEmbedding(spark, sf))
+    val exact = pairs(SimilarityOps.dedupEmbeddingExact(spark, sf))
+    assert(blocked == exact,
+      s"block-pair path diverges: missing=${(exact -- blocked).take(5)}, extra=${(blocked -- exact).take(5)}")
+  }
+
+  test("approximate embedding dedup is a usable-recall subset of exact") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = pairs(SimilarityOps.dedupEmbeddingApprox(spark, sf))
+    val exact = pairs(SimilarityOps.dedupEmbeddingExact(spark, sf))
+    assert((approx -- exact).isEmpty, s"approx produced non-pairs: ${(approx -- exact).take(5)}")
+    val recall = (approx & exact).size.toDouble / math.max(1, exact.size)
+    assert(recall >= 0.6, s"cell-blocked recall $recall below floor at threshold 0.35")
   }
 
   test("exact dedup keeps one keeper per distinct text") {
