@@ -156,6 +156,73 @@ object Bitmap {
     out.toSeq
   }
 
+  /** A connected component with its pixel membership (pixel = y*w + x),
+    * emitted in flood-fill pop order. Slow-path variant used by the rotated
+    * min-area-rect path and the `score_mode='slow'` polygon score, which need
+    * per-pixel masks; the hot axis-aligned path keeps the allocation-free
+    * bounding-box-only labeling above.
+    */
+  final case class ComponentPx(xMin: Int, yMin: Int, xMax: Int, yMax: Int, pixels: Array[Int])
+
+  /** 8-connected labeling like connectedComponents, also collecting each
+    * component's pixels. DESTRUCTIVE on `bits`.
+    */
+  def connectedComponentsPixels(bits: Array[Long], w: Int, h: Int, max: Int): Seq[ComponentPx] = {
+    val n = w * h
+    val out = scala.collection.mutable.ArrayBuffer.empty[ComponentPx]
+    var stack = new Array[Int](256)
+    var sp = 0
+    def push(v: Int): Unit = {
+      if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, sp * 2)
+      stack(sp) = v; sp += 1
+    }
+    var word = 0
+    while (word < bits.length && out.length < max) {
+      while (bits(word) != 0L && out.length < max) {
+        val start = (word << 6) + java.lang.Long.numberOfTrailingZeros(bits(word))
+        if (start >= n) { bits(word) = 0L }
+        else {
+          var xMin = Int.MaxValue; var yMin = Int.MaxValue
+          var xMax = Int.MinValue; var yMax = Int.MinValue
+          val px = scala.collection.mutable.ArrayBuffer.empty[Int]
+          bits(start >>> 6) &= ~(1L << (start & 63))
+          push(start)
+          while (sp > 0) {
+            sp -= 1
+            val p = stack(sp)
+            px += p
+            val x = p % w
+            val y = p / w
+            if (x < xMin) xMin = x
+            if (x > xMax) xMax = x
+            if (y < yMin) yMin = y
+            if (y > yMax) yMax = y
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                val ny = y + dy
+                val nx = x + dx
+                if (ny >= 0 && ny < h && nx >= 0 && nx < w) {
+                  val np = ny * w + nx
+                  if (bit(bits, np)) {
+                    bits(np >>> 6) &= ~(1L << (np & 63))
+                    push(np)
+                  }
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+          }
+          out += ComponentPx(xMin, yMin, xMax, yMax, px.toArray)
+        }
+      }
+      word += 1
+    }
+    out.toSeq
+  }
+
   /** Mean probability over the inclusive rect [x0..x1] x [y0..y1], clipped to
     * bounds — `box_score` fast path (/root/reference/cnstd/model/core.py:92-99).
     * Frozen spec: mean = (sum of quantized cells) / 255 / count, in double.

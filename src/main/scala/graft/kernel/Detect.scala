@@ -1,6 +1,6 @@
 package graft.kernel
 
-import graft.schema.{Params, Region, Vocab}
+import graft.schema.{Params, RRegion, Region, Vocab}
 
 /** The three detection stages, re-expressed as pure JVM kernels over decoded
   * payloads. Each returns the stage's region list after its own filters and
@@ -33,22 +33,37 @@ object Detect {
     * post-unclip min-size (base.py:141-144) → clip → final score/size filters
     * (core.py:222-225) → REVERSED emission order (core.py:234).
     */
-  def std(cells: Array[Byte], off: Int, w: Int, h: Int): Seq[Region] = {
+  def std(cells: Array[Byte], off: Int, w: Int, h: Int): Seq[Region] =
+    std(cells, off, w, h, scoreSlow = false)
+
+  /** @param scoreSlow the `score_mode` toggle
+    *   (/root/reference/cnstd/ppocr/postprocess/db_postprocess.py:47-50):
+    *   'fast' (default) scores the bounding rect mean; 'slow' scores the mean
+    *   over the filled component polygon (db_postprocess.py:151-170) —
+    *   tighter for non-rectangular components whose bounding rect is mostly
+    *   background.
+    */
+  def std(cells: Array[Byte], off: Int, w: Int, h: Int, scoreSlow: Boolean): Seq[Region] = {
     val bitmap = Bitmap.thresholdBits(cells, off, w * h, Params.BinThresh)
     val k = 1 + h / 512
     val opened = Bitmap.morphOpenBits(bitmap, w, h, k)
     val minSizeBox = 1 + h / 512
-    val comps = Bitmap.connectedComponents(opened, w, h, Params.MaxCandidates)
-    val out = comps.flatMap { c =>
+    val comps =
+      if (scoreSlow) Bitmap.connectedComponentsPixels(opened, w, h, Params.MaxCandidates)
+        .map(c => (Bitmap.Component(c.xMin, c.yMin, c.xMax, c.yMax), c.pixels))
+      else Bitmap.connectedComponents(opened, w, h, Params.MaxCandidates).map(c => (c, null))
+    val out = comps.flatMap { case (c, pixels) =>
       // contour max-min per axis (inclusive extent) must reach min_size_box
       if (c.xMax - c.xMin < minSizeBox || c.yMax - c.yMin < minSizeBox) None
       else {
         // boundingRect semantics: x,y,w,h with w = xMax-xMin+1
         val bx = c.xMin; val by = c.yMin
         val bw = c.xMax - c.xMin + 1; val bh = c.yMax - c.yMin + 1
-        // score over points [[x,y],[x,y+h],[x+w,y+h],[x+w,y]] → inclusive rect
-        // [x .. x+w] x [y .. y+h], clipped (core.py:92-99)
-        val score = Bitmap.rectMean(cells, off, w, h, bx, by, bx + bw, by + bh)
+        // fast: score over points [[x,y],[x,y+h],[x+w,y+h],[x+w,y]] → inclusive
+        // rect [x .. x+w] x [y .. y+h], clipped (core.py:92-99)
+        val score =
+          if (scoreSlow) Rotated.scoreSlow(cells, off, pixels)
+          else Bitmap.rectMean(cells, off, w, h, bx, by, bx + bw, by + bh)
         if (score < Params.BoxThresh) None
         else {
           val (ux0, uy0, ux1, uy1) = Geom.unclipRect(bx, by, bx + bw, by + bh, Params.UnclipRatio)
@@ -59,6 +74,47 @@ object Detect {
             // above) and min side >= min_box_size
             if (math.min(cx1 - cx0, cy1 - cy0) < Params.MinBoxSize) None
             else Some(Region(Vocab.StdKind, cx0, cy0, cx1, cy1, score))
+          }
+        }
+      }
+    }
+    out.reverse
+  }
+
+  /** Rotated-path STD tail (`rotated_bbox=True`, the reference DEFAULT —
+    * /root/reference/cnstd/cn_std.py:49):
+    * same binarize → open → CCL → min-extent front as std, then per component
+    * (/root/reference/cnstd/model/base.py:100-173 rotated branches):
+    * rotated objectness over the filled component (core.py:100-105) →
+    * box_thresh filter → min-area rect (`fit_rbbox`, geometry.py:39-41) →
+    * closed-form round-joint unclip at ratio 2.2 (base.py:61,74-98) →
+    * post-unclip min-size filter on (w, h) (base.py:141-144) →
+    * coordinate clip (base.py:166-168: np.clip of x,y,w,h; alpha kept) →
+    * REVERSED emission (core.py:234).
+    */
+  def stdRotated(cells: Array[Byte], off: Int, w: Int, h: Int): Seq[RRegion] = {
+    val bitmap = Bitmap.thresholdBits(cells, off, w * h, Params.BinThresh)
+    val k = 1 + h / 512
+    val opened = Bitmap.morphOpenBits(bitmap, w, h, k)
+    val minSizeBox = 1 + h / 512
+    val comps = Bitmap.connectedComponentsPixels(opened, w, h, Params.MaxCandidates)
+    val out = comps.flatMap { c =>
+      if (c.xMax - c.xMin < minSizeBox || c.yMax - c.yMin < minSizeBox) None
+      else {
+        val score = Rotated.scoreRotated(cells, off, c.pixels)
+        if (score < Params.BoxThresh) None
+        else {
+          val (hx, hy) = Rotated.convexHull(c.pixels, w)
+          val r = Rotated.minAreaRect(hx, hy)
+          val d = Rotated.offsetDistance(hx, hy, Params.UnclipRatioRotated)
+          val gw = r.w + 2 * d
+          val gh = r.h + 2 * d
+          if (gw < minSizeBox || gh < minSizeBox) None
+          else {
+            def clampD(v: Double, hi: Double) = math.min(math.max(v, 0.0), hi)
+            Some(RRegion(Vocab.StdKind,
+              clampD(r.cx, w), clampD(r.cy, h), clampD(gw, w), clampD(gh, h),
+              r.alpha, score))
           }
         }
       }

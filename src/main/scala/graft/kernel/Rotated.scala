@@ -1,0 +1,198 @@
+package graft.kernel
+
+/** Rotated-box geometry for the reference's DEFAULT `rotated_bbox=True` path
+  * (/root/reference/cnstd/cn_std.py:49,62):
+  *
+  *  - min-area rectangle over a connected component — the analog of
+  *    `fit_rbbox` / `cv2.minAreaRect(contour)`
+  *    (/root/reference/cnstd/utils/geometry.py:39-41,
+  *    /root/reference/cnstd/model/base.py:128-139), implemented as convex
+  *    hull (monotone chain) + rotating calipers;
+  *  - closed-form round-joint unclip at ratio 2.2: offsetting a convex
+  *    polygon by d and refitting the min-area rect grows the rect by d on
+  *    every side (the rounded corners are arcs of radius d centered on the
+  *    original corners), so the frozen spec is (w+2d, h+2d) at the same
+  *    center/angle, with d = hullArea * ratio / hullPerimeter
+  *    (/root/reference/cnstd/model/base.py:74-98: `poly.area * unclip_ratio
+  *    / poly.length`, pyclipper JT_ROUND);
+  *  - the rotated score `sum(pred*mask)/count_nonzero(pred*mask)` over the
+  *    filled component (/root/reference/cnstd/model/core.py:100-105) and the
+  *    `score_mode='slow'` polygon mean
+  *    (/root/reference/cnstd/ppocr/postprocess/db_postprocess.py:151-170).
+  *
+  * Frozen conventions (cv2's minAreaRect angle changed across OpenCV
+  * versions, so the engine defines one canonical form, fixture-checked):
+  * alpha in degrees in [0, 90); axis-aligned components report alpha = 0
+  * with w = x-extent; extents are geometric point-set extents over pixel
+  * coordinates (cv2.minAreaRect semantics — no +1, unlike boundingRect);
+  * mask = the component's own pixels (the filled contour of a hole-free
+  * component; our bitmaps produce solid components).
+  */
+object Rotated {
+
+  /** (cx, cy, w, h, alpha-degrees in [0, 90)). */
+  final case class RBox(cx: Double, cy: Double, w: Double, h: Double, alpha: Double)
+
+  /** Convex hull of component pixels (pixel = y*w + x) via Andrew's monotone
+    * chain, counter-clockwise in screen coords, no duplicate endpoint.
+    * Returns (xs, ys); size 1 or 2 for degenerate (point / collinear) input.
+    */
+  def convexHull(pixels: Array[Int], w: Int): (Array[Double], Array[Double]) = {
+    val pts = pixels.map(p => ((p % w).toLong << 32) | (p / w).toLong & 0xffffffffL)
+    java.util.Arrays.sort(pts)
+    val n = pts.length
+    def x(i: Long): Double = (i >> 32).toDouble
+    def y(i: Long): Double = (i & 0xffffffffL).toInt.toDouble
+    def cross(o: Long, a: Long, b: Long): Double =
+      (x(a) - x(o)) * (y(b) - y(o)) - (y(a) - y(o)) * (x(b) - x(o))
+    val hull = new Array[Long](2 * n + 1)
+    var k = 0
+    var i = 0
+    while (i < n) { // lower
+      while (k >= 2 && cross(hull(k - 2), hull(k - 1), pts(i)) <= 0) k -= 1
+      hull(k) = pts(i); k += 1
+      i += 1
+    }
+    val lower = k + 1
+    i = n - 2
+    while (i >= 0) { // upper
+      while (k >= lower && cross(hull(k - 2), hull(k - 1), pts(i)) <= 0) k -= 1
+      hull(k) = pts(i); k += 1
+      i -= 1
+    }
+    val m = math.max(1, k - 1) // last point == first point
+    (Array.tabulate(m)(j => x(hull(j))), Array.tabulate(m)(j => y(hull(j))))
+  }
+
+  /** Shoelace area of the hull polygon (absolute value). */
+  def polygonArea(xs: Array[Double], ys: Array[Double]): Double = {
+    val m = xs.length
+    if (m < 3) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val j = (i + 1) % m
+      s += xs(i) * ys(j) - xs(j) * ys(i)
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  /** Hull polygon perimeter. */
+  def perimeter(xs: Array[Double], ys: Array[Double]): Double = {
+    val m = xs.length
+    if (m < 2) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val j = (i + 1) % m
+      val dx = xs(j) - xs(i)
+      val dy = ys(j) - ys(i)
+      s += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    s
+  }
+
+  /** Round-joint offset distance `area * ratio / perimeter`
+    * (/root/reference/cnstd/model/base.py:74-79).
+    */
+  def offsetDistance(xs: Array[Double], ys: Array[Double], ratio: Double): Double = {
+    val per = perimeter(xs, ys)
+    if (per <= 0) 0.0 else polygonArea(xs, ys) * ratio / per
+  }
+
+  /** Min-area enclosing rectangle via rotating calipers over hull edges:
+    * the optimal rectangle has one side collinear with a hull edge, so try
+    * every edge direction and keep the smallest area (O(m^2), hulls are
+    * tiny). Degenerate hulls yield zero-extent boxes (filtered by callers'
+    * min-size gates, mirroring the reference's small-box removal).
+    */
+  def minAreaRect(xs: Array[Double], ys: Array[Double]): RBox = {
+    val m = xs.length
+    if (m == 1) return RBox(xs(0), ys(0), 0, 0, 0)
+    var best = Double.MaxValue
+    var bestTheta = 0.0
+    var bestEx = 0.0; var bestEy = 0.0
+    var bestCx = 0.0; var bestCy = 0.0
+    var e = 0
+    while (e < m) {
+      val j = (e + 1) % m
+      val dx = xs(j) - xs(e)
+      val dy = ys(j) - ys(e)
+      val len = math.sqrt(dx * dx + dy * dy)
+      if (len > 0) {
+        val ux = dx / len
+        val uy = dy / len
+        var minU = Double.MaxValue; var maxU = Double.MinValue
+        var minV = Double.MaxValue; var maxV = Double.MinValue
+        var i = 0
+        while (i < m) {
+          val u = xs(i) * ux + ys(i) * uy
+          val v = -xs(i) * uy + ys(i) * ux
+          if (u < minU) minU = u
+          if (u > maxU) maxU = u
+          if (v < minV) minV = v
+          if (v > maxV) maxV = v
+          i += 1
+        }
+        val area = (maxU - minU) * (maxV - minV)
+        if (area < best - 1e-12) {
+          best = area
+          bestTheta = math.atan2(uy, ux)
+          bestEx = maxU - minU
+          bestEy = maxV - minV
+          val cu = (minU + maxU) / 2
+          val cv = (minV + maxV) / 2
+          bestCx = cu * ux - cv * uy
+          bestCy = cu * uy + cv * ux
+        }
+      }
+      e += 1
+    }
+    if (best == Double.MaxValue) { // all hull edges degenerate (single point repeated)
+      return RBox(xs(0), ys(0), 0, 0, 0)
+    }
+    // canonicalize: angle mod 180, then mod 90 with an extent swap per quarter turn
+    var theta = bestTheta.toDegrees
+    var (ew, eh) = (bestEx, bestEy)
+    while (theta < 0) theta += 180.0
+    while (theta >= 180.0) theta -= 180.0
+    if (theta >= 90.0) { theta -= 90.0; val t = ew; ew = eh; eh = t }
+    // snap numeric noise at the wrap point
+    if (theta > 90.0 - 1e-9) { theta = 0.0; val t = ew; ew = eh; eh = t }
+    RBox(bestCx, bestCy, ew, eh, theta)
+  }
+
+  /** Rotated objectness: `np.sum(pred * mask) / np.count_nonzero(pred * mask)`
+    * over the filled component (/root/reference/cnstd/model/core.py:100-105) —
+    * note the denominator counts NONZERO products, not mask size.
+    */
+  def scoreRotated(cells: Array[Byte], off: Int, pixels: Array[Int]): Double = {
+    var sum = 0L
+    var nz = 0
+    var i = 0
+    while (i < pixels.length) {
+      val v = cells(off + pixels(i)) & 0xff
+      sum += v
+      if (v != 0) nz += 1
+      i += 1
+    }
+    if (nz == 0) 0.0 else sum.toDouble / 255.0 / nz
+  }
+
+  /** `score_mode='slow'` polygon mean: mean of pred over the filled component
+    * mask (/root/reference/cnstd/ppocr/postprocess/db_postprocess.py:151-170,
+    * toggle at :47-50) — denominator is the mask size.
+    */
+  def scoreSlow(cells: Array[Byte], off: Int, pixels: Array[Int]): Double = {
+    if (pixels.isEmpty) return 0.0
+    var sum = 0L
+    var i = 0
+    while (i < pixels.length) {
+      sum += (cells(off + pixels(i)) & 0xff)
+      i += 1
+    }
+    sum.toDouble / 255.0 / pixels.length
+  }
+}

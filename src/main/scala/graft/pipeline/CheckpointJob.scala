@@ -65,12 +65,7 @@ object CheckpointJob {
         if (upper.nonEmpty) d = d.where(col("doc_id") < upper)
         d
       }
-      val mediaInRange = if (!pruneMediaByRef) media else {
-        var m = media
-        if (lower.nonEmpty) m = m.where(col("media_ref") >= s"m-$lower")
-        if (upper.nonEmpty) m = m.where(col("media_ref") < s"m-$upper")
-        m
-      }
+      val mediaInRange = if (pruneMediaByRef) prunedMedia(media, lower, upper) else media
       val t0 = System.nanoTime()
       val outPath = s"$tableRoot/range=$r"
       val (out, corrupt) = Extract.runWithMetrics(inRange, mediaInRange)
@@ -86,6 +81,17 @@ object CheckpointJob {
       committed += 1
     }
     snapshot
+  }
+
+  /** Range predicate on the media table derived from a doc_id range via the
+    * `m-<doc_id>-<k>` embedding — lands in the parquet scan as a pushed
+    * string-range filter (asserted in CheckpointSpec).
+    */
+  private[pipeline] def prunedMedia(media: Dataset[Media], lower: String, upper: String): Dataset[Media] = {
+    var m = media
+    if (lower.nonEmpty) m = m.where(col("media_ref") >= s"m-$lower")
+    if (upper.nonEmpty) m = m.where(col("media_ref") < s"m-$upper")
+    m
   }
 
   /** Read the committed table; `version` selects a historical snapshot

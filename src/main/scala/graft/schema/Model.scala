@@ -19,6 +19,18 @@ final case class Media(media_ref: String, payload: Array[Byte])
   */
 final case class Region(kind: String, x0: Int, y0: Int, x1: Int, y1: Int, score: Double)
 
+/** A detected region on the ROTATED path (`rotated_bbox=True`, the reference
+  * DEFAULT — /root/reference/cnstd/cn_std.py:49): center, side lengths, and
+  * rotation angle in degrees, mirroring the reference's RotatedBbox
+  * `(x, y, w, h, alpha)` (/root/reference/cnstd/utils/common_types.py:28,
+  * /root/reference/cnstd/utils/geometry.py:39-41). Frozen convention:
+  * alpha in [0, 90), axis-aligned boxes report alpha = 0 with w = x-extent
+  * (cv2's minAreaRect angle convention changed across OpenCV versions, so the
+  * engine defines its own canonical form, fixture-checked).
+  */
+final case class RRegion(kind: String, cx: Double, cy: Double, w: Double, h: Double,
+                         alpha: Double, score: Double)
+
 /** Output span after extraction; per-row invariant compares (kind, text, media_ref, order). */
 final case class OutSpan(kind: String, text: String, media_ref: String, order: Int)
 
@@ -60,6 +72,8 @@ object Params {
   final val BoxThresh = 0.6
   /** Polygon unclip ratio, straight boxes (/root/reference/cnstd/model/base.py:61). */
   final val UnclipRatio = 1.5
+  /** Polygon unclip ratio, rotated boxes (/root/reference/cnstd/model/base.py:61). */
+  final val UnclipRatioRotated = 2.2
   /** Final min box side (/root/reference/cnstd/cn_std.py:142). */
   final val MinBoxSize = 8
   /** Final score threshold (/root/reference/cnstd/cn_std.py:143, model/core.py:222). */

@@ -1,0 +1,117 @@
+package graft.kernel
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.schema.Params
+
+/** Fixtures for the rotated-box path (`rotated_bbox=True`, the reference
+  * default) mirroring /root/reference/cnstd/model/base.py:128-173, plus the
+  * `score_mode` fast/slow toggle
+  * (/root/reference/cnstd/ppocr/postprocess/db_postprocess.py:47-50).
+  */
+class RotatedSpec extends AnyFunSuite {
+
+  private def blank(w: Int, h: Int) = new Array[Byte](w * h)
+  private def fillRect(cells: Array[Byte], w: Int, x0: Int, y0: Int, x1: Int, y1: Int, v: Int): Unit =
+    for (y <- y0 to y1; x <- x0 to x1) cells(y * w + x) = v.toByte
+
+  test("axis-aligned blob: min-area rect matches closed-form unclip at 2.2") {
+    val (w, h) = (64, 64)
+    val cells = blank(w, h)
+    fillRect(cells, w, 10, 8, 29, 19, 255) // 20 x 12 solid blob
+    val out = Detect.stdRotated(cells, 0, w, h)
+    assert(out.length == 1)
+    val r = out.head
+    // point-set extents (cv2.minAreaRect semantics): 19 x 11, center of the
+    // pixel-coordinate extent
+    assert(r.alpha == 0.0)
+    assert(math.abs(r.cx - 19.5) < 1e-9 && math.abs(r.cy - 13.5) < 1e-9)
+    // d = area * 2.2 / perimeter = (19*11) * 2.2 / (2*(19+11)) = 7.66333...
+    val d = 19.0 * 11.0 * Params.UnclipRatioRotated / 60.0
+    assert(math.abs(r.w - (19 + 2 * d)) < 1e-9, s"w=${r.w}")
+    assert(math.abs(r.h - (11 + 2 * d)) < 1e-9, s"h=${r.h}")
+    // solid blob: rotated objectness = 1.0 (core.py:100-105)
+    assert(r.score == 1.0)
+  }
+
+  test("both ways: axis path and rotated path agree on the same blob's center") {
+    val (w, h) = (64, 64)
+    val cells = blank(w, h)
+    fillRect(cells, w, 10, 8, 29, 19, 255)
+    val axis = Detect.std(cells, 0, w, h)
+    val rot = Detect.stdRotated(cells, 0, w, h)
+    assert(axis.length == 1 && rot.length == 1)
+    // axis path: boundingRect 20x12 at (10,8), unclip 1.5 →
+    // d = 20*12*1.5/64 = 5.625 → floor/ceil box (4,2,36,26) (base.py:74-98)
+    assert((axis.head.x0, axis.head.y0, axis.head.x1, axis.head.y1) == ((4, 2, 36, 26)))
+    // rotated center sits at the pixel-extent center, 0.5px from the
+    // boundingRect center (point-set vs pixel-count semantics, documented)
+    assert(math.abs(rot.head.cx - (axis.head.x0 + axis.head.x1) / 2.0) <= 0.5)
+    assert(math.abs(rot.head.cy - (axis.head.y0 + axis.head.y1) / 2.0) <= 0.5)
+  }
+
+  test("45-degree diamond: min-area rect rotates instead of axis-aligning") {
+    val (w, h) = (64, 64)
+    val cells = blank(w, h)
+    for (y <- 0 until h; x <- 0 until w)
+      if (math.abs(x - 32) + math.abs(y - 32) <= 8) cells(y * w + x) = 255.toByte
+    val out = Detect.stdRotated(cells, 0, w, h)
+    assert(out.length == 1)
+    val r = out.head
+    assert(math.abs(r.alpha - 45.0) < 1.0, s"alpha=${r.alpha}")
+    // diamond radius 8 → rotated side 8*sqrt(2) ~ 11.31, grown by 2d
+    val side = 8 * math.sqrt(2)
+    assert(math.abs(r.w - r.h) < 0.5, s"w=${r.w} h=${r.h}")
+    assert(r.w > side && r.w < side * 3, s"w=${r.w}")
+    // the rotated rect beats the axis-aligned bounding square in area
+    // (before unclip: ~128 vs 256)
+    val pixels = (for (y <- 0 until h; x <- 0 until w
+                       if math.abs(x - 32) + math.abs(y - 32) <= 8) yield y * w + x).toArray
+    val (hx, hy) = Rotated.convexHull(pixels, w)
+    val raw = Rotated.minAreaRect(hx, hy)
+    assert(raw.w * raw.h < 16.0 * 16.0, s"area=${raw.w * raw.h}")
+  }
+
+  test("minAreaRect: hull points are contained and area never beats bbox") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val w = 48
+      val n = 2 + rng.nextInt(40)
+      val pixels = Array.fill(n)(rng.nextInt(40) * w + rng.nextInt(40)).distinct
+      val (hx, hy) = Rotated.convexHull(pixels, w)
+      val r = Rotated.minAreaRect(hx, hy)
+      val rad = math.toRadians(r.alpha)
+      val (ux, uy) = (math.cos(rad), math.sin(rad))
+      hx.indices.foreach { i =>
+        val du = (hx(i) - r.cx) * ux + (hy(i) - r.cy) * uy
+        val dv = -(hx(i) - r.cx) * uy + (hy(i) - r.cy) * ux
+        assert(math.abs(du) <= r.w / 2 + 1e-6 && math.abs(dv) <= r.h / 2 + 1e-6,
+          s"hull point outside rect: ($du,$dv) vs ${r.w}x${r.h} a=${r.alpha}")
+      }
+      val xs = pixels.map(_ % w); val ys = pixels.map(_ / w)
+      val bboxArea = (xs.max - xs.min).toDouble * (ys.max - ys.min).toDouble
+      assert(r.w * r.h <= bboxArea + 1e-6 || bboxArea == 0)
+    }
+  }
+
+  test("score_mode: slow keeps an L-shaped component that fast filters") {
+    val (w, h) = (64, 64)
+    val cells = blank(w, h)
+    // L: 20x4 horizontal bar + 4x20 vertical bar, solid 255; the bounding
+    // rect is mostly background so the fast rect-mean falls below
+    // box_thresh 0.6 while the polygon mean is 1.0
+    fillRect(cells, w, 10, 8, 29, 11, 255)
+    fillRect(cells, w, 10, 8, 13, 27, 255)
+    assert(Detect.std(cells, 0, w, h, scoreSlow = false).isEmpty)
+    val slow = Detect.std(cells, 0, w, h, scoreSlow = true)
+    assert(slow.length == 1)
+    assert(slow.head.score == 1.0)
+  }
+
+  test("degenerate hulls: single pixel and collinear rows stay safe") {
+    val one = Rotated.minAreaRect(Array(5.0), Array(6.0))
+    assert(one.w == 0 && one.h == 0)
+    val (hx, hy) = Rotated.convexHull(Array(3 * 10 + 2, 3 * 10 + 5, 3 * 10 + 9), 10)
+    val line = Rotated.minAreaRect(hx, hy)
+    assert(line.h == 0.0 && math.abs(line.w - 7.0) < 1e-9 && line.alpha == 0.0)
+  }
+}

@@ -66,6 +66,41 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash two-level banding: complete at hamming<=3, bounded hot buckets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // adversarial corpus: every signature shares band 0's 15 bits (the plain
+    // 15-bit banding would put ALL docs in one bucket), random elsewhere
+    val shared = rng.nextLong() & 0x7fffL
+    val base = Seq.fill(2000)((rng.nextLong() & ((1L << 60) - 1) & ~0x7fffL) | shared)
+    // planted near-dups: flip 1..3 random bits of the first 100
+    val planted = base.take(100).map { s =>
+      var t = s
+      (0 until 1 + rng.nextInt(3)).foreach(_ => t ^= 1L << rng.nextInt(60))
+      t
+    }
+    val all = (base ++ planted).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = all.toDF("doc_id", "simhash")
+    val keys = df.select(col("doc_id"), col("simhash"),
+      explode(array(DedupOps.simHashKeys(col("simhash")): _*)).as("k"))
+    // completeness: every planted pair (hamming <= 3 by construction) shares a key
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigOf = all.toMap
+    planted.indices.foreach { i =>
+      val (a, b) = (i.toLong, (base.size + i).toLong)
+      if (java.lang.Long.bitCount(sigOf(a) ^ sigOf(b)) <= 3)
+        assert(cand.contains((a, b)), s"planted pair ($a,$b) shares no band key")
+    }
+    // occupancy: the sub-split spreads the degenerate shared band over the
+    // remaining 45 bits — no compound bucket holds more than a tiny fraction
+    // of the corpus (plain banding would hold all 2100 in one bucket)
+    val maxBucket = keys.groupBy("k").count().agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 50, s"hot bucket of $maxBucket docs survived the sub-split")
+  }
+
   test("ANN IVF results are a high-recall subset of brute-force top-k") {
     val exact = SimilarityOps.cosineTopK(spark, sf).select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

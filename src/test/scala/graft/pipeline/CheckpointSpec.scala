@@ -28,6 +28,28 @@ class CheckpointSpec extends SparkSpec {
     assert(Manifest.latest(dir).get.version == 4)
   }
 
+  test("per-range media scan carries a pushed media_ref range filter") {
+    implicit val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-prune").toString
+    val (_, media) = Extract.generate(50)
+    media.write.parquet(s"$base/media")
+    val mediaDs = spark.read.parquet(s"$base/media").as[graft.schema.Media]
+    val pruned = CheckpointJob.prunedMedia(mediaDs, "doc-000000010", "doc-000000020")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // PushedFilters is elided in toString; DataFilters shows the full pushed set
+    assert(plan.contains("PushedFilters: [IsNotNull(media_ref), GreaterThanOrEqual(media_ref,m-doc-000000010)") &&
+      plan.contains("(media_ref#") && plan.contains(">= m-doc-000000010") &&
+      plan.contains("< m-doc-000000020"),
+      s"media range filter not pushed to the scan:\n$plan")
+    // the predicate keeps exactly the docs in [lower, upper)
+    val ids = pruned.collect().map(_.media_ref).toSeq
+    assert(ids.nonEmpty && ids.forall { r =>
+      val doc = r.stripPrefix("m-").take("doc-000000010".length)
+      doc >= "doc-000000010" && doc < "doc-000000020"
+    })
+  }
+
   test("killed run resumes at first uncommitted range; result equals single-shot") {
     implicit val s = spark
     import s.implicits._
