@@ -65,9 +65,12 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  /** L2-normalized copy of the embeddings (doubles). */
+  /** L2-normalized copy of the embeddings (doubles), spread across the
+    * session's cores: the sf tables arrive as one parquet file = one input
+    * partition, which would serialize every kernel pass onto a single task.
+    */
   private def normalized(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
+    val e = emb(spark, dir).repartition(spark.sparkContext.defaultParallelism)
     val n = sqrt(dot(col("embedding"), col("embedding")))
     e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double") / n).as("vec"))
@@ -112,25 +115,47 @@ object SimilarityOps {
 
   /** Deterministic Lloyd iterations: init = the first `NCells` vectors by
     * vec_id, cosine assignment, centroid = member mean. Centroids are a
-    * driver-side model (NCells x dim doubles), updated per iteration from a
-    * distributed (cell, pos) average — the standard Spark k-means shape.
+    * driver-side model (NCells x dim doubles); each iteration is ONE job —
+    * per-partition (cell -> sumVec, count) partials computed inside the
+    * assignment kernel, merged on the driver (the standard Spark k-means
+    * shape; an earlier posexplode+groupBy-avg form cost two extra stages and
+    * a shuffle per iteration).
     */
   private[operators] def trainCentroids(base: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val dim = Dim // fixed embedding dimensionality; avoids a per-train action
     var centroids: IndexedSeq[IndexedSeq[Double]] = base
       .orderBy("vec_id").limit(NCells).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     for (_ <- 0 until KMeansIters) {
-      val assigned = cellAssignments(base, centroids, 1)
-      val sums = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("m"))
+      val partials = cellAssignments(base, centroids, 1)
+        .select(col("cell"), col("vec")).as[(Int, Seq[Double])]
+        .mapPartitions { it =>
+          val sums = Array.fill(NCells)(new Array[Double](dim))
+          val counts = new Array[Long](NCells)
+          it.foreach { case (c, v) =>
+            counts(c) += 1
+            val s = sums(c)
+            var i = 0
+            while (i < dim) { s(i) += v(i); i += 1 }
+          }
+          Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
+        }
         .collect()
-      val next = Array.fill(NCells)(Array.fill(dim)(0.0))
-      sums.foreach(r => next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+      val next = Array.fill(NCells)(new Array[Double](dim))
+      val counts = new Array[Long](NCells)
+      partials.foreach { case (sums, cs) =>
+        for (k <- 0 until NCells) {
+          counts(k) += cs(k)
+          var i = 0
+          while (i < dim) { next(k)(i) += sums(k)(i); i += 1 }
+        }
+      }
       centroids = centroids.indices.map { k =>
         // empty cells keep their previous centroid
-        if (next(k).forall(_ == 0.0)) centroids(k) else next(k).toIndexedSeq
+        if (counts(k) == 0) centroids(k)
+        else next(k).map(_ / counts(k)).toIndexedSeq
       }
     }
     centroids
@@ -329,9 +354,15 @@ object SimilarityOps {
     val centroids = trainCentroids(base)
     base.unpersist(blocking = false)
     val indexed = cellAssignments(base, centroids, NProbe)
-    val queries = indexed.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
-        explode(col("probes")).as("cell"))
+    // the query side is <= NumQueries rows — collect it eagerly so the big
+    // `indexed` subtree appears ONCE in the final plan instead of being
+    // recomputed for the broadcast side
+    import spark.implicits._
+    val qRows = indexed.where(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("vec"), col("probes"))
+      .as[(Long, Seq[Double], Seq[Int])].collect()
+    val queries = qRows.flatMap { case (id, vec, probes) => probes.map(c => (id, vec, c)) }
+      .toSeq.toDF("q_id", "q_vec", "cell")
     val cand = indexed.join(broadcast(queries), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), dot(col("q_vec"), col("vec")).as("cos"))

@@ -111,28 +111,28 @@ object Extract {
       }
     }
 
+    // The text branch also carries the empty-doc sentinel: a doc whose spans
+    // array is empty would otherwise vanish from the output, while the
+    // single-threaded oracle emits ExtractedDoc(id, Seq()). explode_outer
+    // kept one s=null row per such doc; mapping it to a media-kind piece
+    // with an EMPTY (not null) regions array flattens to zero spans in
+    // assembly, so the doc appears with spans=[]. Folding the sentinel into
+    // this branch (rather than a third union branch) keeps the docs side at
+    // exactly two scans+explodes — a third branch measurably ate into the
+    // 32-thread CPU headroom.
+    val regionsType = "array<struct<kind:string,x0:int,y0:int,x1:int,y1:int,score:double>>"
     val textPieces: Dataset[SpanPiece] = spans
-      .where(col("s.kind") =!= "media")
-      .select(col("doc_id"), col("s.offset").as("offset"), col("s.kind").as("kind"),
-        col("s.text").as("text"), col("s.media_ref").as("media_ref"),
-        lit(null).cast("array<struct<kind:string,x0:int,y0:int,x1:int,y1:int,score:double>>")
-          .as("regions"))
+      .where(col("s").isNull || col("s.kind") =!= "media")
+      .select(col("doc_id"),
+        coalesce(col("s.offset"), lit(0)).as("offset"),
+        coalesce(col("s.kind"), lit("media")).as("kind"),
+        coalesce(col("s.text"), lit("")).as("text"),
+        coalesce(col("s.media_ref"), lit("")).as("media_ref"),
+        when(col("s").isNull, array().cast(regionsType))
+          .otherwise(lit(null).cast(regionsType)).as("regions"))
       .as[SpanPiece]
 
-    // A doc whose spans array is empty would otherwise vanish from the
-    // output, while the single-threaded oracle emits ExtractedDoc(id, Seq()).
-    // explode_outer kept one s=null row per such doc; a sentinel media-kind
-    // piece with an EMPTY (not null) regions array flattens to zero spans in
-    // assembly, so the doc appears with spans=[] — no extra scan or shuffle.
-    val emptyDocs: Dataset[SpanPiece] = spans
-      .where(col("s").isNull)
-      .select(col("doc_id"), lit(0).as("offset"), lit("media").as("kind"),
-        lit("").as("text"), lit("").as("media_ref"),
-        array().cast("array<struct<kind:string,x0:int,y0:int,x1:int,y1:int,score:double>>")
-          .as("regions"))
-      .as[SpanPiece]
-
-    (mediaPieces.unionByName(textPieces).unionByName(emptyDocs), corrupt)
+    (mediaPieces.unionByName(textPieces), corrupt)
   }
 
   /** collect_list of piece structs ordered by offset (offset is the struct's

@@ -81,6 +81,20 @@ class ExtractE2ESpec extends SparkSpec {
     assert(out("doc-b").isEmpty)
   }
 
+  test("empty-span docs appear in the output with spans=[] like the oracle") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = Seq(
+      Doc("doc-empty", Seq.empty),
+      Doc("doc-t", Seq(RawSpan("text", "hi", "", 0)))).toDS()
+    val out = Extract.run(docs, s.emptyDataset[Media]).collect().map(d => d.doc_id -> d.spans).toMap
+    assert(out.keySet == Set("doc-empty", "doc-t"), s"missing docs: $out")
+    assert(out("doc-empty").isEmpty)
+    assert(out("doc-t") == Seq(OutSpan("text", "hi", "", 0)))
+    // matches the single-threaded oracle's contract
+    assert(Oracle.extract(Doc("doc-empty", Seq.empty), _ => null) == ExtractedDoc("doc-empty", Seq.empty))
+  }
+
   test("docs without media pass through with text spans only") {
     implicit val s = spark
     import s.implicits._
