@@ -164,6 +164,44 @@ object Rotated {
     RBox(bestCx, bestCy, ew, eh, theta)
   }
 
+  /** Page-angle estimate from a binarized map (`get_bitmap_angle`,
+    * /root/reference/cnstd/utils/_utils.py:237-272, used when
+    * `auto_rotate_whole_image=True`, core.py:131-137; default off,
+    * cn_std.py:48): fit min-area rects to the `nCt` largest components
+    * (sorted by hull polygon area desc — the `cv2.contourArea` sort, SO2),
+    * collect their angles/widths/heights; if the population-std of the
+    * angles exceeds `stdMax` the page is multi-oriented → 0; else
+    * angle = -mean(angles), plus 90 when the rects are taller than wide
+    * (counterclockwise pages). Angles use this engine's canonical [0, 90)
+    * minAreaRect convention (cv2's own convention varies by version).
+    */
+  def pageAngle(bits: Array[Long], w: Int, h: Int,
+                nCt: Int = 20, stdMax: Double = 3.0): Double = {
+    // CCL is destructive on its bitset; the caller's bitmap is still needed
+    // for box extraction afterwards (core.py computes the angle first)
+    val comps = Bitmap.connectedComponentsPixels(bits.clone(), w, h, Int.MaxValue)
+    if (comps.isEmpty) return 0.0
+    val fitted = comps.map { c =>
+      val (hx, hy) = convexHull(c.pixels, w)
+      (polygonArea(hx, hy), minAreaRect(hx, hy))
+    }.sortBy(-_._1).take(nCt).map(_._2)
+    val angles = fitted.map(_.alpha)
+    val mean = angles.sum / angles.length
+    val std = math.sqrt(angles.map(a => (a - mean) * (a - mean)).sum / angles.length)
+    if (std > stdMax) 0.0
+    else {
+      val angle = -mean
+      // aspect vote: sum(widths) < sum(heights) → counterclockwise page
+      if (fitted.map(_.w).sum < fitted.map(_.h).sum) 90 + angle else angle
+    }
+  }
+
+  /** `rotate_page`'s rotation guard (/root/reference/cnstd/utils/_utils.py:177-178):
+    * angles within `minAngle` of 0 or 90 degrees are not worth rotating.
+    */
+  def shouldRotate(angle: Double, minAngle: Double = 1.0): Boolean =
+    math.abs(angle) >= minAngle && math.abs(angle) <= 90 - minAngle
+
   /** Rotated objectness: `np.sum(pred * mask) / np.count_nonzero(pred * mask)`
     * over the filled component (/root/reference/cnstd/model/core.py:100-105) —
     * note the denominator counts NONZERO products, not mask size.

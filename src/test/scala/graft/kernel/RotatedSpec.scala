@@ -107,6 +107,39 @@ class RotatedSpec extends AnyFunSuite {
     assert(slow.head.score == 1.0)
   }
 
+  test("page angle: horizontal text lines read 0, slanted lines read -angle") {
+    val (w, h) = (128, 128)
+    def bitsOf(f: (Int, Int) => Boolean): Array[Long] = {
+      val cells = blank(w, h)
+      for (y <- 0 until h; x <- 0 until w) if (f(x, y)) cells(y * w + x) = 255.toByte
+      Bitmap.thresholdBits(cells, 0, w * h, 0.3)
+    }
+    // three horizontal 40x4 bars → all alphas 0, wide → page angle 0
+    val horiz = bitsOf((x, y) => x >= 10 && x < 50 && Seq(10, 30, 50).exists(b => y >= b && y < b + 4))
+    assert(Rotated.pageAngle(horiz, w, h) == 0.0)
+    assert(!Rotated.shouldRotate(0.0))
+    // bars slanted ~30 degrees (y grows with x at tan(30)) → angle ~ -30
+    def slant(b: Int)(x: Int, y: Int): Boolean = {
+      val t = x - 10
+      t >= 0 && t < 60 && {
+        val yy = b + (t * math.tan(math.toRadians(30))).round.toInt
+        y >= yy && y < yy + 3
+      }
+    }
+    val slanted = bitsOf((x, y) => Seq(10, 40, 70).exists(b => slant(b)(x, y)))
+    val a = Rotated.pageAngle(slanted, w, h)
+    assert(math.abs(a + 30.0) < 3.0, s"angle=$a")
+    assert(Rotated.shouldRotate(a))
+    // vertical bars → aspect vote flips the quadrant: 90 + (-0) = 90
+    val vert = bitsOf((x, y) => y >= 10 && y < 50 && Seq(10, 30, 50).exists(b => x >= b && x < b + 4))
+    assert(Rotated.pageAngle(vert, w, h) == 90.0)
+    assert(!Rotated.shouldRotate(90.0)) // within min_angle of 90 → no rotation
+    // mixed orientations (std > 3) → multi-oriented page, angle 0
+    val mixed = bitsOf((x, y) =>
+      (y >= 10 && y < 14 && x >= 10 && x < 50) || Seq(60).exists(b => slant(b)(x, y)))
+    assert(Rotated.pageAngle(mixed, w, h) == 0.0)
+  }
+
   test("degenerate hulls: single pixel and collinear rows stay safe") {
     val one = Rotated.minAreaRect(Array(5.0), Array(6.0))
     assert(one.w == 0 && one.h == 0)
