@@ -49,7 +49,9 @@ object TextOps {
     val padded = concat(lit(" "), col("text"), lit(" "))
     markers.map { m =>
       val needle = s" $m "
-      (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+      // literal replace (codegen'd UTF8String scan), not regexp_replace: the
+      // needles are literals and the regex engine cost ~3x'd this query
+      (length(padded) - length(replace(padded, lit(needle), lit("")))) / needle.length
     }.reduce(_ + _)
   }
 
