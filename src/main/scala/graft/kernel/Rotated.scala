@@ -164,6 +164,48 @@ object Rotated {
     RBox(bestCx, bestCy, ew, eh, theta)
   }
 
+  /** Corners of an RBox in image coordinates — `cv2.boxPoints` analog
+    * (/root/reference/cnstd/utils/geometry.py:34-36 `rbbox_to_polygon`).
+    * Fixed order (tl, tr, br, bl) in the box's own frame: width direction
+    * u = (cos a, sin a), height direction v = (-sin a, cos a), screen coords
+    * (cv2's own corner order varies across versions; downstream canonicalizers
+    * sortBoxPoints / orderPointsClockwise make the order irrelevant).
+    */
+  def boxPoints(b: RBox): Array[(Double, Double)] = {
+    val rad = math.toRadians(b.alpha)
+    val ux = math.cos(rad); val uy = math.sin(rad)
+    val vx = -uy; val vy = ux
+    val hw = b.w / 2; val hh = b.h / 2
+    Array(
+      (b.cx - hw * ux - hh * vx, b.cy - hw * uy - hh * vy),
+      (b.cx + hw * ux - hh * vx, b.cy + hw * uy - hh * vy),
+      (b.cx + hw * ux + hh * vx, b.cy + hw * uy + hh * vy),
+      (b.cx - hw * ux + hh * vx, b.cy - hw * uy + hh * vy))
+  }
+
+  /** SO1: canonical 4-point ordering, the `sort_box_points` rule
+    * (/root/reference/cnstd/utils/utils.py:387-412): stable-sort by x, pick
+    * top/bottom within the left and right pairs by the reference's exact
+    * comparisons (note `>` not `>=` — ties keep sort order, mirrored here).
+    */
+  def sortBoxPoints(pts: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val p = pts.sortBy(_._1) // stable, like python sorted(key=x)
+    val (i1, i4) = if (p(1)._2 > p(0)._2) (0, 1) else (1, 0)
+    val (i2, i3) = if (p(3)._2 > p(2)._2) (2, 3) else (3, 2)
+    Array(p(i1), p(i2), p(i3), p(i4))
+  }
+
+  /** The PP variant (`order_points_clockwise`,
+    * /root/reference/cnstd/ppocr/pp_detector.py:137-159): x-sort, then y-sort
+    * within the left-most and right-most pairs → (tl, tr, br, bl).
+    */
+  def orderPointsClockwise(pts: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val xs = pts.sortBy(_._1)
+    val Array(tl, bl) = xs.take(2).sortBy(_._2)
+    val Array(tr, br) = xs.drop(2).sortBy(_._2)
+    Array(tl, tr, br, bl)
+  }
+
   /** Page-angle estimate from a binarized map (`get_bitmap_angle`,
     * /root/reference/cnstd/utils/_utils.py:237-272, used when
     * `auto_rotate_whole_image=True`, core.py:131-137; default off,

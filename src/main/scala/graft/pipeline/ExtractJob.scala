@@ -51,6 +51,19 @@ object ExtractJob {
         val secs = (System.nanoTime() - t0) / 1e9
         val written = spark.read.parquet(outDir).count()
         println(f"[extract-job] docs=$written%d wall=$secs%.2fs throughput=${written / secs}%.1f docs/s -> $outDir")
+      case "runjson" :: docsDir :: mediaDir :: outDir :: Nil =>
+        // S8 text/JSON sink — the analog of the reference's det_results.txt
+        // (one line per image: "filename\t<json boxes>",
+        // /root/reference/cnstd/ppocr/pp_detector.py:299-330): one line per
+        // doc, "doc_id\t<json spans array>", written as text partitions.
+        val docs = spark.read.parquet(docsDir).as[graft.schema.Doc]
+        val media = spark.read.parquet(mediaDir).as[graft.schema.Media]
+        Extract.run(docs, media).toDF()
+          .select(org.apache.spark.sql.functions.concat_ws("\t",
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.to_json(org.apache.spark.sql.functions.col("spans"))).as("value"))
+          .write.mode(SaveMode.Overwrite).text(outDir)
+        println(s"[extract-job] json lines -> $outDir (${spark.read.text(outDir).count()} docs)")
       case "stream" :: docsGlob :: outDir :: ckptDir :: rest =>
         val seed = rest.headOption.map(_.toLong).getOrElse(GenData.DefaultSeed)
         val q = graft.streaming.StreamingExtract.start(docsGlob, outDir, ckptDir,
@@ -59,7 +72,7 @@ object ExtractJob {
         val n = spark.read.parquet(outDir).count()
         println(s"[extract-job] stream drained; total docs in sink: $n")
       case other =>
-        System.err.println(s"usage: ExtractJob gen <nDocs> <outDir> [seed] | run <docsDir> <mediaDir> <outDir> | stream <docsGlob> <outDir> <ckptDir> [seed] (got: $other)")
+        System.err.println(s"usage: ExtractJob gen <nDocs> <outDir> [seed] | run <docsDir> <mediaDir> <outDir> | runjson <docsDir> <mediaDir> <outDir> | stream <docsGlob> <outDir> <ckptDir> [seed] (got: $other)")
         sys.exit(2)
     }
     spark.stop()
