@@ -244,6 +244,26 @@ object Rotated {
   def shouldRotate(angle: Double, minAngle: Double = 1.0): Boolean =
     math.abs(angle) >= minAngle && math.abs(angle) <= 90 - minAngle
 
+  /** P12 `rotate_page` (/root/reference/cnstd/utils/_utils.py:162-183):
+    * rotate the image counterclockwise by `angle` degrees about its center
+    * into a same-sized, zero-padded frame (getRotationMatrix2D + warpAffine).
+    * Guarded by shouldRotate, like the reference. Note: the reference passes
+    * `center=(height/2, width/2)` where cv2 expects (x, y) — a swapped-center
+    * quirk that only matters for non-square pages on a default-off path; this
+    * restatement uses the true center (width/2, height/2).
+    */
+  def rotatePage(img: Resize.Img, angle: Double, minAngle: Double = 1.0): Resize.Img = {
+    if (!shouldRotate(angle, minAngle)) return img
+    val rad = math.toRadians(angle)
+    val c = math.cos(rad)
+    val s = math.sin(rad)
+    val cx = img.w / 2.0
+    val cy = img.h / 2.0
+    // cv2.getRotationMatrix2D(center, angle, 1.0): CCW in image coords
+    val m = Array(c, s, (1 - c) * cx - s * cy, -s, c, s * cx + (1 - c) * cy)
+    Crop.warpAffine(img, m, img.w, img.h)
+  }
+
   /** Rotated objectness: `np.sum(pred * mask) / np.count_nonzero(pred * mask)`
     * over the filled component (/root/reference/cnstd/model/core.py:100-105) —
     * note the denominator counts NONZERO products, not mask size.

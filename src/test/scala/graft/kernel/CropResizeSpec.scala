@@ -127,6 +127,22 @@ class CropResizeSpec extends AnyFunSuite {
     assert(canon(0)._1 < canon(1)._1 && canon(0)._2 < canon(3)._2)
   }
 
+  test("P12 rotate_page: min-angle guard, center fixed point, involution at 45") {
+    val img = gradient(33, 33) // odd dims → exact center pixel (16,16)
+    assert(Rotated.rotatePage(img, 0.5) eq img)   // below min_angle
+    assert(Rotated.rotatePage(img, 89.5) eq img)  // within min_angle of 90
+    val rot = Rotated.rotatePage(img, 30)
+    assert(rot.w == 33 && rot.h == 33)
+    // the center is a fixed point of the rotation
+    assert(rot.cells(16 * 33 + 16) == img.cells(16 * 33 + 16))
+    // rotating +45 then -45 restores interior values (linear gradient ⇒
+    // bilinear exact; borders differ where content left the frame)
+    val back = Rotated.rotatePage(Rotated.rotatePage(img, 45), -45)
+    for (y <- 14 to 18; x <- 14 to 18)
+      assert(math.abs((back.cells(y * 33 + x) & 0xff) - (img.cells(y * 33 + x) & 0xff)) <= 2,
+        s"($x,$y)")
+  }
+
   test("A9 mask IoU: identity 1, disjoint 0, half-overlap hand value") {
     def rectBits(w: Int, h: Int, x0: Int, y0: Int, x1: Int, y1: Int): Array[Long] = {
       val cells = new Array[Byte](w * h)
