@@ -1,6 +1,6 @@
 package graft.kernel
 
-import graft.schema.{Params, RRegion, Region, Vocab}
+import graft.schema.{DetectConfig, Params, RRegion, Region, Vocab}
 
 /** The three detection stages, re-expressed as pure JVM kernels over decoded
   * payloads. Each returns the stage's region list after its own filters and
@@ -43,13 +43,20 @@ object Detect {
     *   tighter for non-rectangular components whose bounding rect is mostly
     *   background.
     */
-  def std(cells: Array[Byte], off: Int, w: Int, h: Int, scoreSlow: Boolean): Seq[Region] = {
-    val bitmap = Bitmap.thresholdBits(cells, off, w * h, Params.BinThresh)
+  def std(cells: Array[Byte], off: Int, w: Int, h: Int, scoreSlow: Boolean): Seq[Region] =
+    std(cells, off, w, h, DetectConfig(scoreSlow = scoreSlow))
+
+  /** Config-driven axis-aligned STD tail (thresholds/sizes from cfg — the
+    * reference's detect kwargs, cn_std.py:140-143). The default config
+    * reproduces the frozen fixture semantics exactly.
+    */
+  def std(cells: Array[Byte], off: Int, w: Int, h: Int, cfg: DetectConfig): Seq[Region] = {
+    val bitmap = Bitmap.thresholdBits(cells, off, w * h, cfg.binThresh)
     val k = 1 + h / 512
     val opened = Bitmap.morphOpenBits(bitmap, w, h, k)
     val minSizeBox = 1 + h / 512
     val comps =
-      if (scoreSlow) Bitmap.connectedComponentsPixels(opened, w, h, Params.MaxCandidates)
+      if (cfg.scoreSlow) Bitmap.connectedComponentsPixels(opened, w, h, Params.MaxCandidates)
         .map(c => (Bitmap.Component(c.xMin, c.yMin, c.xMax, c.yMax), c.pixels))
       else Bitmap.connectedComponents(opened, w, h, Params.MaxCandidates).map(c => (c, null))
     val out = comps.flatMap { case (c, pixels) =>
@@ -62,17 +69,20 @@ object Detect {
         // fast: score over points [[x,y],[x,y+h],[x+w,y+h],[x+w,y]] → inclusive
         // rect [x .. x+w] x [y .. y+h], clipped (core.py:92-99)
         val score =
-          if (scoreSlow) Rotated.scoreSlow(cells, off, pixels)
+          if (cfg.scoreSlow) Rotated.scoreSlow(cells, off, pixels)
           else Bitmap.rectMean(cells, off, w, h, bx, by, bx + bw, by + bh)
-        if (score < Params.BoxThresh) None
+        if (score < cfg.boxThresh) None
         else {
-          val (ux0, uy0, ux1, uy1) = Geom.unclipRect(bx, by, bx + bw, by + bh, Params.UnclipRatio)
+          // the axis kernel IS the rotated_bbox=False path → ratio 1.5
+          // (base.py:62) unless explicitly overridden
+          val (ux0, uy0, ux1, uy1) = Geom.unclipRect(bx, by, bx + bw, by + bh,
+            cfg.unclipRatioOverride.getOrElse(Params.UnclipRatio))
           if (ux1 - ux0 < minSizeBox || uy1 - uy0 < minSizeBox) None
           else {
             val (cx0, cy0, cx1, cy1) = Geom.clip(ux0, uy0, ux1, uy1, w, h)
-            // final filters (core.py:222-225): score >= 0.3 (implied by 0.6
-            // above) and min side >= min_box_size
-            if (math.min(cx1 - cx0, cy1 - cy0) < Params.MinBoxSize) None
+            // final filters (core.py:222-225): score >= box_score_thresh
+            // (implied by box_thresh at the defaults) + min side filter
+            if (math.min(cx1 - cx0, cy1 - cy0) < cfg.minBoxSize) None
             else Some(Region(Vocab.StdKind, cx0, cy0, cx1, cy1, score))
           }
         }
@@ -92,8 +102,11 @@ object Detect {
     * coordinate clip (base.py:166-168: np.clip of x,y,w,h; alpha kept) →
     * REVERSED emission (core.py:234).
     */
-  def stdRotated(cells: Array[Byte], off: Int, w: Int, h: Int): Seq[RRegion] = {
-    val bitmap = Bitmap.thresholdBits(cells, off, w * h, Params.BinThresh)
+  def stdRotated(cells: Array[Byte], off: Int, w: Int, h: Int): Seq[RRegion] =
+    stdRotated(cells, off, w, h, DetectConfig(rotatedBbox = true))
+
+  def stdRotated(cells: Array[Byte], off: Int, w: Int, h: Int, cfg: DetectConfig): Seq[RRegion] = {
+    val bitmap = Bitmap.thresholdBits(cells, off, w * h, cfg.binThresh)
     val k = 1 + h / 512
     val opened = Bitmap.morphOpenBits(bitmap, w, h, k)
     val minSizeBox = 1 + h / 512
@@ -102,25 +115,81 @@ object Detect {
       if (c.xMax - c.xMin < minSizeBox || c.yMax - c.yMin < minSizeBox) None
       else {
         val score = Rotated.scoreRotated(cells, off, c.pixels)
-        if (score < Params.BoxThresh) None
+        if (score < cfg.boxThresh) None
         else {
           val (hx, hy) = Rotated.convexHull(c.pixels, w)
           val r = Rotated.minAreaRect(hx, hy)
-          val d = Rotated.offsetDistance(hx, hy, Params.UnclipRatioRotated)
+          // the rotated kernel IS the rotated_bbox=True path → ratio 2.2
+          val d = Rotated.offsetDistance(hx, hy,
+            cfg.unclipRatioOverride.getOrElse(Params.UnclipRatioRotated))
           val gw = r.w + 2 * d
           val gh = r.h + 2 * d
           if (gw < minSizeBox || gh < minSizeBox) None
           else {
             def clampD(v: Double, hi: Double) = math.min(math.max(v, 0.0), hi)
-            Some(RRegion(Vocab.StdKind,
-              clampD(r.cx, w), clampD(r.cy, h), clampD(gw, w), clampD(gh, h),
-              r.alpha, score))
+            val (cw, ch) = (clampD(gw, w), clampD(gh, h))
+            // final crop-level filters (core.py:222-225): the rotated crop's
+            // dims are int(w), int(h) of the unclipped-expanded rbbox
+            if (math.min(cw.toInt, ch.toInt) < cfg.minBoxSize) None
+            else Some(RRegion(Vocab.StdKind,
+              clampD(r.cx, w), clampD(r.cy, h), cw, ch, r.alpha, score))
           }
         }
       }
     }
     out.reverse
   }
+
+  /** Config-driven rendered extraction for one payload: the full per-payload
+    * tail under `cfg`, emitting (kind, text) span pieces in final order. The
+    * rotated branch mirrors the reference's rotated assembly: rbbox → sorted
+    * 4-point array (transform_rbbox_to_bbox, utils.py:382-384) whose (p0, p2)
+    * corners form the effective rect for the reading-order sort + IoA dedup
+    * (`_to_iou_box`, utils.py:453-455); the span text renders the rbbox as
+    * "[cx,cy,w,h,alpha];score" (frozen format, 2dp coords). With
+    * `autoRotateWholeImage` the prob map itself is page-rotated by the
+    * estimated -angle before detection (core.py:124-137; we rotate the
+    * continuous map and re-threshold rather than warping the binarized one —
+    * cleaner and fixture-defined).
+    */
+  def extractRendered(payload: Array[Byte], cfg: DetectConfig): Seq[(String, String)] =
+    Payload.decode(payload) match {
+      case Payload.ProbMap(w, h, cells0, off0) =>
+        val (cells, off) =
+          if (!cfg.autoRotateWholeImage) (cells0, off0)
+          else {
+            val bits = Bitmap.thresholdBits(cells0, off0, w * h, cfg.binThresh)
+            val opened = Bitmap.morphOpenBits(bits, w, h, 1 + h / 512)
+            val angle = Rotated.pageAngle(opened, w, h)
+            if (!Rotated.shouldRotate(angle)) (cells0, off0)
+            else {
+              val img = Resize.Img(java.util.Arrays.copyOfRange(cells0, off0, off0 + w * h), w, h)
+              (Rotated.rotatePage(img, -angle).cells, 0)
+            }
+          }
+        if (cfg.rotatedBbox) {
+          val rs = stdRotated(cells, off, w, h, cfg)
+          val withRect = rs.map { r =>
+            val pts = Rotated.sortBoxPoints(
+              Rotated.boxPoints(Rotated.RBox(r.cx, r.cy, r.w, r.h, r.alpha)))
+            (r, (pts(0)._1, pts(0)._2, pts(2)._1, pts(2)._2))
+          }
+          Order.finalizeBy(withRect)(_._2).map { case (r, _) =>
+            (r.kind, "[%.2f,%.2f,%.2f,%.2f,%.2f];%.4f".formatLocal(java.util.Locale.ROOT,
+              r.cx, r.cy, r.w, r.h, r.alpha, r.score))
+          }
+        } else {
+          Order.finalize(std(cells, off, w, h, cfg)).map(r => (r.kind, Assemble.regionText(r)))
+        }
+      case Payload.Candidates(stage, w, h, cands) =>
+        Order.finalize(yolo(stage, w, h, cands)).map(r => (r.kind, Assemble.regionText(r)))
+    }
+
+  /** extractRendered with the degrade-don't-fail contract of extractSafe. */
+  def extractRenderedSafe(payload: Array[Byte], cfg: DetectConfig): (Seq[(String, String)], Boolean) =
+    if (payload == null) (Nil, true)
+    else try (extractRendered(payload, cfg), false)
+    catch { case scala.util.control.NonFatal(_) => (Nil, true) }
 
   /** YOLO-style tail shared by MFD and layout:
     * conf filter (/root/reference/cnstd/yolov7/general.py:597-614) →

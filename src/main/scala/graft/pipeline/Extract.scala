@@ -15,6 +15,16 @@ final case class MediaTask(doc_id: String, offset: Int, media_ref: String, paylo
 final case class SpanPiece(doc_id: String, offset: Int, kind: String, text: String,
                            media_ref: String, regions: Seq[Region])
 
+/** A pre-rendered span emitted by the config-driven kernel path. */
+final case class RSpan(kind: String, text: String)
+
+/** Piece shape for the config-driven pipeline: media pieces carry their
+  * rendered spans (the rotated render has no fixed-arity numeric struct, so
+  * rendering happens kernel-side).
+  */
+final case class RenderedPiece(doc_id: String, offset: Int, kind: String, text: String,
+                               media_ref: String, rendered: Seq[RSpan])
+
 /** The distributed extraction pipeline (SURVEY.md §7.3 step 3):
   *
   *   docs ─ explode media spans ─ join(media) ─ mapPartitions(Detect.extract) ─┐
@@ -174,6 +184,52 @@ object Extract {
       .select(col("doc_id"), flattened.as("flat"))
       .select(col("doc_id"), renumbered.as("spans"))
       .as[ExtractedDoc]
+  }
+
+  /** Config-driven variant of run() — the public API analog of the
+    * reference's constructor/detect kwargs (rotated_bbox is the REFERENCE
+    * default, auto-rotate, thresholds, score_mode; schema.DetectConfig).
+    * Same two-shuffle shape; the assembly runs on the typed path because the
+    * rotated render is produced kernel-side. The frozen Default config
+    * short-circuits to the columnar fast path — bit-identical by definition.
+    */
+  def runConfigured(docs: Dataset[Doc], media: Dataset[Media], cfg: graft.schema.DetectConfig)(
+      implicit spark: SparkSession): Dataset[ExtractedDoc] = {
+    if (cfg == graft.schema.DetectConfig.Default) return run(docs, media)
+    import spark.implicits._
+    val spans = docs.select(col("doc_id"), explode_outer(col("spans")).as("s"))
+    val mediaTasks = spans
+      .where(col("s.kind") === "media")
+      .select(col("doc_id"), col("s.offset").as("offset"), col("s.media_ref").as("media_ref"))
+      .join(media, Seq("media_ref"), "left_outer")
+      .select(col("doc_id"), col("offset"), col("media_ref"), col("payload"))
+      .as[MediaTask]
+    val mediaPieces: Dataset[RenderedPiece] = mediaTasks.mapPartitions { it =>
+      it.grouped(Params.BatchSize).flatMap(_.map { t =>
+        val (rendered, _) = Detect.extractRenderedSafe(t.payload, cfg)
+        RenderedPiece(t.doc_id, t.offset, "media", "", t.media_ref,
+          rendered.map { case (k, x) => RSpan(k, x) })
+      })
+    }
+    val textPieces: Dataset[RenderedPiece] = spans
+      .where(col("s").isNull || col("s.kind") =!= "media")
+      .select(col("doc_id"),
+        coalesce(col("s.offset"), lit(0)).as("offset"),
+        coalesce(col("s.kind"), lit("media")).as("kind"),
+        coalesce(col("s.text"), lit("")).as("text"),
+        coalesce(col("s.media_ref"), lit("")).as("media_ref"),
+        array().cast("array<struct<kind:string,text:string>>").as("rendered"))
+      .as[RenderedPiece]
+    mediaPieces.unionByName(textPieces)
+      .groupByKey(_.doc_id)
+      .mapGroups { (id, it) =>
+        val ps = it.toArray.sortBy(_.offset)
+        val flat = ps.flatMap { p =>
+          if (p.kind != "media") Seq((p.kind, p.text, ""))
+          else p.rendered.map(r => (r.kind, r.text, p.media_ref))
+        }
+        ExtractedDoc(id, flat.zipWithIndex.map { case ((k, x, m), i) => OutSpan(k, x, m, i) }.toSeq)
+      }
   }
 
   /** Generate `nDocs` docs + media payloads as distributed Datasets. */

@@ -21,4 +21,19 @@ object Oracle {
     val d = GenData.doc(seed, i)
     extract(d, ref => GenData.payload(seed, ref))
   }
+
+  /** Config-driven oracle matching Extract.runConfigured's contract (rendered
+    * kernel path, degrade-don't-fail, empty docs kept).
+    */
+  def extractConfigured(doc: Doc, payloadFor: String => Array[Byte],
+                        cfg: graft.schema.DetectConfig): ExtractedDoc = {
+    val flat = doc.spans.sortBy(_.offset).flatMap { s =>
+      if (s.kind == "media") {
+        val payload = try payloadFor(s.media_ref) catch { case _: Exception => null }
+        Detect.extractRenderedSafe(payload, cfg)._1.map { case (k, t) => (k, t, s.media_ref) }
+      } else Seq((s.kind, s.text, ""))
+    }
+    ExtractedDoc(doc.doc_id,
+      flat.zipWithIndex.map { case ((k, t, m), i) => graft.schema.OutSpan(k, t, m, i) })
+  }
 }

@@ -37,6 +37,33 @@ final case class OutSpan(kind: String, text: String, media_ref: String, order: I
 /** One output document row. */
 final case class ExtractedDoc(doc_id: String, spans: Seq[OutSpan])
 
+/** Config surface of the detection stage — the Spark analog of the
+  * reference's constructor/detect kwargs (/root/reference/cnstd/cn_std.py:44-143:
+  * `rotated_bbox` (DEFAULT true, :49), `auto_rotate_whole_image` (:48),
+  * thresholds/sizes (:140-143)); `unclipRatio` auto-selects 2.2/1.5 by path
+  * like the reference (model/base.py:62) unless overridden; `scoreSlow` is
+  * the PP `score_mode` toggle (db_postprocess.py:47-50). Defaults reproduce
+  * the engine's frozen fixture semantics bit-for-bit.
+  */
+final case class DetectConfig(
+    rotatedBbox: Boolean = false,
+    autoRotateWholeImage: Boolean = false,
+    binThresh: Double = Params.BinThresh,
+    boxThresh: Double = Params.BoxThresh,
+    minBoxSize: Int = Params.MinBoxSize,
+    unclipRatioOverride: Option[Double] = None,
+    scoreSlow: Boolean = false) {
+  def unclipRatio: Double = unclipRatioOverride.getOrElse(
+    if (rotatedBbox) Params.UnclipRatioRotated else Params.UnclipRatio)
+}
+
+object DetectConfig {
+  /** The engine's frozen default (axis-aligned pipeline, SURVEY §7.5(2)). */
+  val Default: DetectConfig = DetectConfig()
+  /** The reference library's own defaults (cn_std.py:48-49). */
+  val ReferenceDefault: DetectConfig = DetectConfig(rotatedBbox = true)
+}
+
 object Vocab {
   /** Detection-stage ids baked into the payload header. */
   final val StageStd = 0

@@ -81,6 +81,28 @@ class ExtractE2ESpec extends SparkSpec {
     assert(out("doc-b").isEmpty)
   }
 
+  test("config-driven rotated pipeline equals its oracle; default config hits the fast path") {
+    implicit val s = spark
+    import s.implicits._
+    val cfg = graft.schema.DetectConfig.ReferenceDefault // rotated_bbox=True, cn_std.py:49
+    val n = 300
+    val (docs, media) = Extract.generate(n, seed)
+    val out = Extract.runConfigured(docs, media, cfg).collect().map(d => d.doc_id -> d.spans).toMap
+    assert(out.size == n)
+    (0 until n).foreach { i =>
+      val expect = Oracle.extractConfigured(GenData.doc(seed, i), ref => GenData.payload(seed, ref), cfg)
+      assert(out(expect.doc_id) == expect.spans, s"doc $i diverges from the rotated oracle")
+    }
+    // rotated render is actually exercised (5-field rbbox text on std spans)
+    assert(out.values.flatten.exists(sp => sp.kind == "std_text" && sp.text.count(_ == ',') == 4),
+      "no rotated rbbox renders found — rotated path not exercised")
+    // the frozen Default config short-circuits to the columnar pipeline
+    val viaCfg = Extract.runConfigured(docs, media, graft.schema.DetectConfig.Default)
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    val direct = Extract.run(docs, media).collect().map(d => d.doc_id -> d.spans).toMap
+    assert(viaCfg == direct)
+  }
+
   test("empty-span docs appear in the output with spans=[] like the oracle") {
     implicit val s = spark
     import s.implicits._
