@@ -30,7 +30,7 @@ import graft.pipeline.Extract
 object Bench {
   /** Public: CodegenGuardSpec replays this exact set under fail-fast codegen. */
   val headline = Seq(
-    "x1_extract_spans", "x2_extract_metrics",
+    "x1_extract_spans", "x2_extract_metrics", "x3_extract_rotated",
     "q1_pricing_agg", "q2_market_revenue", "q3_nation_top_customers",
     "q4_shipdate_filter", "q5_priority_heavy_orders", "q6_brand_stats", "q7_shipping_priority",
     "ev1_hourly_events", "ev2_user_sessions",

@@ -36,6 +36,7 @@ object SparkEntry {
     // extraction pipeline (north rule core)
     "x1_extract_spans" -> (ExtractOps.extractSpans _),
     "x2_extract_metrics" -> (ExtractOps.extractMetrics _),
+    "x3_extract_rotated" -> (ExtractOps.extractSpansRotated _),
     // relational / window / event plumbing
     "q1_pricing_agg" -> (RelationalOps.pricingAgg _),
     "q2_market_revenue" -> (RelationalOps.marketRevenue _),

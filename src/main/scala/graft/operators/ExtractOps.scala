@@ -26,6 +26,21 @@ object ExtractOps {
       .orderBy("doc_id", "span_order")
   }
 
+  /** The reference-default flow (`rotated_bbox=True`, cn_std.py:49) through
+    * the distributed pipeline: rotated min-area-rect regions rendered as
+    * "[cx,cy,w,h,alpha];score" spans. Gated by the rotated-oracle E2E
+    * equality (ExtractE2ESpec); driver sees rows>0 + determinism.
+    */
+  def extractSpansRotated(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val (docs, media) = Extract.generate(nDocsFor(dir))
+    Extract.runConfigured(docs, media, graft.schema.DetectConfig.ReferenceDefault)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.order").as("span_order"))
+      .orderBy("doc_id", "span_order")
+  }
+
   /** Extraction metrics table (north rule: per-partition/per-kind counts). */
   def extractMetrics(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
