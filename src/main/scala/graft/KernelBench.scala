@@ -23,5 +23,14 @@ object KernelBench {
       val s1 = (System.nanoTime() - t1) / 1e9
       println(f"[kernel-bench] stage=$stage n=${ps.length} rate=${ps.length / s1}%.0f payloads/s/core")
     }
+    // rotated path (rotated_bbox=True, the reference default): hull +
+    // rotating calipers + rotated scoring instead of the bitset rect tail
+    val cfg = graft.schema.DetectConfig.ReferenceDefault
+    payloads.take(500).foreach(p => Detect.extractRendered(p, cfg))
+    val t2 = System.nanoTime()
+    var rspans = 0L
+    payloads.foreach(p => rspans += Detect.extractRendered(p, cfg).length)
+    val s2 = (System.nanoTime() - t2) / 1e9
+    println(f"[kernel-bench] rotated n=$n spans=$rspans rate=${n / s2}%.0f payloads/s/core")
   }
 }

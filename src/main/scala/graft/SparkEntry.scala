@@ -264,6 +264,11 @@ object SparkEntry {
         |                               CAST(j + ${TextOps.FpW - 1} AS INT))))) AS fps
         |  FROM hs)
         |SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin,
+    "x2_extract_metrics" ->
+      s"""SELECT kind, count(*) AS n_spans,
+        | count(DISTINCT media_ref) AS n_media
+        |FROM read_parquet('${ExtractOps.sideTable(2000)}/*.parquet')
+        |GROUP BY kind ORDER BY kind""".stripMargin,
     "src1_gt_summary" ->
       s"""SELECT img, count(*) AS n_boxes,
         | CAST(sum(ignored) AS BIGINT) AS n_ignored,

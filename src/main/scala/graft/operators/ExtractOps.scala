@@ -41,13 +41,24 @@ object ExtractOps {
       .orderBy("doc_id", "span_order")
   }
 
+  /** Fixed side-table path for the exploded extraction spans at size n: the
+    * driver's DuckDB oracle re-aggregates the SAME rows (the extraction
+    * content itself is gated by the Spark-vs-single-threaded-oracle E2E
+    * equality; what the oracle value-checks here is the metrics aggregation).
+    */
+  def sideTable(n: Long): String = s"/root/repo/target/oracle_side/x2_spans_$n"
+
   /** Extraction metrics table (north rule: per-partition/per-kind counts). */
   def extractMetrics(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    Extract.runGenerated(nDocsFor(dir))
-      .select(explode(col("spans")).as("s"))
-      .groupBy(col("s.kind").as("kind"))
-      .agg(count(lit(1)).as("n_spans"), countDistinct(col("s.media_ref")).as("n_media"))
+    val n = nDocsFor(dir)
+    val spans = Extract.runGenerated(n)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.media_ref").as("media_ref"))
+    spans.coalesce(1).write.mode("overwrite").parquet(sideTable(n))
+    spark.read.parquet(sideTable(n))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_spans"), countDistinct(col("media_ref")).as("n_media"))
       .orderBy("kind")
   }
 }
