@@ -125,9 +125,15 @@ object TextOps {
   /** Character-trigram Jaccard near-duplicate pairs within the same source.
     * Inverted-index self-join on shingle (the scalable pattern: only docs
     * sharing a shingle ever pair up), distinct shingle sets, pairs with
-    * similarity >= 0.5. At scale the shingle join is the bottleneck —
-    * dedupMinHash (DedupOps) is the sub-quadratic path; this exact version
-    * doubles as its quality oracle.
+    * similarity >= 0.5.
+    *
+    * Scale posture (deliberate): this operator is EXACT and stays quadratic
+    * on hot shingles — a document-frequency cap on the inverted index would
+    * bound the join but silently drops any pair whose shared shingles are all
+    * hot, i.e. it stops being exact; the capped/sub-quadratic regime is
+    * DedupOps.minHashPairs (dd3), whose banding is the principled version of
+    * that trade. dd2's role in the suite is the small-scale exact oracle that
+    * dd3's recall is calibrated against.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select("doc_id", "source", "text")

@@ -28,6 +28,20 @@ class CheckpointSpec extends SparkSpec {
     assert(Manifest.latest(dir).get.version == 4)
   }
 
+  test("boundaries containing brackets survive the round-trip (resume safety)") {
+    // boundaries are REAL doc_ids sampled from input data: a ']' inside one
+    // used to terminate a non-greedy array regex early and silently truncate
+    // the parsed boundary list, corrupting resume ranges
+    val dir = Files.createTempDirectory("graft-manifest-br").toString
+    val nasty = Seq("doc-[0]", "doc-]]", "doc-\\]\"", "doc-plain")
+    val snap = Snapshot(1, nasty,
+      Seq(graft.table.RangeEntry(0, "doc-[0]", "doc-]]", "range=0", 1, 1, 0.1, 0, "in[1]")))
+    Manifest.write(dir, snap)
+    val back = Manifest.latest(dir).get
+    assert(back == snap, s"got $back")
+    assert(back.boundaries == nasty)
+  }
+
   test("per-range media scan carries a pushed media_ref range filter") {
     implicit val s = spark
     import s.implicits._
