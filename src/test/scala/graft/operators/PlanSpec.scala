@@ -36,6 +36,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") && p.contains("partial_"), p.take(2000))
   }
 
+  test("no CartesianProduct in any headline query plan") {
+    // an accidental cartesian is the canonical 100x-scale killer; the only
+    // sanctioned nested-loop shape is a broadcast of a <=NumQueries-row side
+    // (sim1's non-equi query join)
+    graft.Bench.headline.foreach { name =>
+      val p = plan(graft.SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n${p.take(1500)}")
+    }
+  }
+
+  test("block-pair embedding dedup shuffles once and never broadcasts the table") {
+    val df = SimilarityOps.dedupEmbedding(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("MapGroups"), "block-pair groups missing")
+  }
+
   test("token count stays inside whole-stage codegen") {
     val df = TextOps.tokenCount(spark, sf)
     df.collect() // materialize so AQE finalizes the physical plan
