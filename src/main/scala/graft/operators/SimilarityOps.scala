@@ -121,19 +121,26 @@ object SimilarityOps {
     * shape; an earlier posexplode+groupBy-avg form cost two extra stages and
     * a shuffle per iteration).
     */
-  private[operators] def trainCentroids(base: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
+  /** @param nCells coarse-quantizer size. At 100 TB choose ~sqrt(N) (the
+    *   standard IVF rule): the driver-side model stays O(nCells x Dim) while
+    *   per-cell candidate lists stay O(sqrt(N)). The sf defaults keep the
+    *   frozen test semantics.
+    */
+  private[operators] def trainCentroids(base: DataFrame,
+                                        nCells: Int = NCells): IndexedSeq[IndexedSeq[Double]] = {
     val spark = base.sparkSession
     import spark.implicits._
     val dim = Dim // fixed embedding dimensionality; avoids a per-train action
     var centroids: IndexedSeq[IndexedSeq[Double]] = base
-      .orderBy("vec_id").limit(NCells).collect()
+      .orderBy("vec_id").limit(nCells).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     for (_ <- 0 until KMeansIters) {
+      val nc = centroids.length
       val partials = cellAssignments(base, centroids, 1)
         .select(col("cell"), col("vec")).as[(Int, Seq[Double])]
         .mapPartitions { it =>
-          val sums = Array.fill(NCells)(new Array[Double](dim))
-          val counts = new Array[Long](NCells)
+          val sums = Array.fill(nc)(new Array[Double](dim))
+          val counts = new Array[Long](nc)
           it.foreach { case (c, v) =>
             counts(c) += 1
             val s = sums(c)
@@ -143,10 +150,10 @@ object SimilarityOps {
           Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
         }
         .collect()
-      val next = Array.fill(NCells)(new Array[Double](dim))
-      val counts = new Array[Long](NCells)
+      val next = Array.fill(nc)(new Array[Double](dim))
+      val counts = new Array[Long](nc)
       partials.foreach { case (sums, cs) =>
-        for (k <- 0 until NCells) {
+        for (k <- 0 until nc) {
           counts(k) += cs(k)
           var i = 0
           while (i < dim) { next(k)(i) += sums(k)(i); i += 1 }
@@ -348,12 +355,18 @@ object SimilarityOps {
     * in the broadcast kernel; only the per-candidate dot (64 terms) is an
     * expression, so the whole plan stays inside whole-stage codegen.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, NCells, NProbe)
+
+  /** @param nCells/nProbe index granularity — see trainCentroids for the
+    *   sqrt(N) scaling rule; probe count trades recall for candidate volume.
+    */
+  def annIvf(spark: SparkSession, dir: String, nCells: Int, nProbe: Int): DataFrame = {
     // cache only for the Lloyd iterations (see dedupEmbedding)
     val base = normalized(spark, dir).persist()
-    val centroids = trainCentroids(base)
+    val centroids = trainCentroids(base, nCells)
     base.unpersist(blocking = false)
-    val indexed = cellAssignments(base, centroids, NProbe)
+    val indexed = cellAssignments(base, centroids, nProbe)
     // the query side is <= NumQueries rows — collect it eagerly so the big
     // `indexed` subtree appears ONCE in the final plan instead of being
     // recomputed for the broadcast side
