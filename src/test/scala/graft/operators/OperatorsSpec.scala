@@ -66,6 +66,33 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("banded simhash pairs equal brute-force hamming pairs on random docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+      "iota", "kappa", "lambda", "mu")
+    // near-dup-rich corpus: half the docs are 1-2-token edits of earlier ones
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 120).foreach { i =>
+      if (i > 0 && rng.nextBoolean()) {
+        val base = texts(rng.nextInt(texts.length)).split(" ").toBuffer
+        base(rng.nextInt(base.length)) = vocab(rng.nextInt(vocab.length))
+        texts += base.mkString(" ")
+      } else texts += Seq.fill(8 + rng.nextInt(8))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val d = texts.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val banded = DedupOps.simHashPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = DedupOps.simHashSignatures(d).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= DedupOps.MaxHamming
+    } yield (a, b, h)).toSet
+    assert(banded == brute,
+      s"banding diverges from brute force: missing=${(brute -- banded).take(5)}, extra=${(banded -- brute).take(5)}")
+    assert(brute.nonEmpty, "differential corpus produced no near-dup pairs — fixture too weak")
+  }
+
   test("simhash two-level banding: complete at hamming<=3, bounded hot buckets") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
