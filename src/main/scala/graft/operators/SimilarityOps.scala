@@ -37,15 +37,16 @@ object SimilarityOps {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
 
-  /** Unrolled fixed-dim dot product: a straight-line codegen'd expression
-    * tree (left-associated sum, identical arithmetic order to a sequential
-    * loop). The HOF form `aggregate(zip_with(...))` materializes a Dim-length
-    * array per invocation — at 12.5M pairs that alone cost ~60x wall time.
-    * 64 terms is well under the 64 KB Janino method cap; do NOT use this
-    * per-centroid (NCells copies in one Project is what broke codegen).
+  /** Dot product via the engine's native Catalyst expression
+    * (graft.expr.DotProduct): ONE generated loop instead of Dim inlined
+    * multiply-adds, same left-to-right double accumulation as the previous
+    * unrolled tree (bit-identical — sim1/dd5 stay oracle-green) and as the
+    * mapPartitions kernels. The HOF form `aggregate(zip_with(...))`
+    * materializes a Dim-length array per invocation — at 12.5M pairs that
+    * alone cost ~60x wall time; the unrolled tree form stacked per-centroid
+    * was what blew Janino's 64 KB cap in round 1.
     */
-  private def dot(x: Column, y: Column): Column =
-    (0 until Dim).map(i => x.getItem(i).cast("double") * y.getItem(i).cast("double")).reduce(_ + _)
+  private def dot(x: Column, y: Column): Column = call_function("graft_dot", x, y)
 
   /** Brute-force exact top-k cosine neighbors for the first `NumQueries`
     * vectors. The query side is tiny → broadcast; ranking via window with a

@@ -16,6 +16,7 @@ object SparkSpec {
     val s = graft.Sessions.builder("local[4]", 7)
       .appName("graft-test")
       .getOrCreate()
+    graft.expr.GraftFunctions.register(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }
