@@ -45,15 +45,33 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** Null semantics: a null ELEMENT inside the scanned range nulls the whole
+    * dot (like the unrolled getItem tree this expression replaced — null * x
+    * propagates). Parquet arrays routinely arrive with containsNull=true even
+    * when no element is null, so rejecting the type would break every scan;
+    * the per-element check is emitted only when the type says it's needed.
+    */
+  override def nullable: Boolean =
+    super.nullable || elemNullable(left) || elemNullable(right)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
+    val checkNulls = elemNullable(left) || elemNullable(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -68,10 +86,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // element-null check only when the type admits element nulls, so the
+      // hot loop over non-null arrays stays branch-free
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  ${ev.value} += $getA * $getB;
          |}
        """.stripMargin

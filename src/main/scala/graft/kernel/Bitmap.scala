@@ -91,6 +91,32 @@ object Bitmap {
     out
   }
 
+  /** PP `use_dilation` (default off): 2x2 all-ones dilation of the binarized
+    * mask before component search
+    * (/root/reference/cnstd/ppocr/postprocess/db_postprocess.py:52-53,182-187
+    * — `cv2.dilate(mask, np.array([[1,1],[1,1]]))`). Frozen convention for
+    * the even kernel's anchor (cv2's even-kernel anchor handling is
+    * version-dependent): out(x,y) = OR of (x-1..x, y-1..y) — self, left, up,
+    * up-left — which bridges 1-pixel diagonal/axis gaps either way.
+    */
+  def dilateBits(bits: Array[Long], w: Int, h: Int): Array[Long] = {
+    val out = new Array[Long](bits.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = bit(bits, y * w + x) ||
+          (x > 0 && bit(bits, y * w + x - 1)) ||
+          (y > 0 && bit(bits, (y - 1) * w + x)) ||
+          (x > 0 && y > 0 && bit(bits, (y - 1) * w + x - 1))
+        if (v) out((y * w + x) >>> 6) |= 1L << ((y * w + x) & 63)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** A connected component's inclusive pixel-bounding box. */
   final case class Component(xMin: Int, yMin: Int, xMax: Int, yMax: Int)
 

@@ -86,34 +86,57 @@ object Crop {
     Img(out, outW, outH)
   }
 
-  /** P11: rotated crop — warp the min-area rect to a horizontal patch
-    * (`extract_rcrops` / `_process_horizontal_box`, _utils.py:59-130).
-    * Vertical-box detection mirrors _utils.py:84-86: near-axis angles with a
-    * 1.3x elongated short side route to the vertical handler (which emits a
-    * transposed patch). Corner orders follow Rotated.boxPoints' fixed
-    * convention (cv2's own boxPoints order varies by version; the dst
-    * triangles here are chosen so an axis-aligned box round-trips to the
-    * straight crop, fixture-checked).
+  /** P11: rotated crop — warp the min-area rect to a patch, mirroring
+    * `extract_rcrops`'s two handlers exactly (_utils.py:59-160):
+    *
+    *  - vertical-box routing (_utils.py:84-86): near-axis angles with a 1.3x
+    *    elongated short side go to `_process_vertical_box`, the rest to
+    *    `_process_horizontal_box`;
+    *  - inside EACH handler the dst triangle and output dims are chosen by
+    *    `clockwise = w > h` (_utils.py:101-103,133-135): clockwise-horizontal
+    *    and nonclockwise-vertical emit an untransposed w x h patch,
+    *    the other two branches emit the 90-degree-rotated h x w patch;
+    *  - the horizontal handler first normalizes `alpha > 80 and w < h`
+    *    (_utils.py:98-100, the opencv>=4.5.2 convention): alpha -= 90 with a
+    *    w/h swap — on cv2.boxPoints that rotates the corner labels by one
+    *    position, i.e. the (tl,tr,br) triangle becomes (bl,tl,tr) of the
+    *    ORIGINAL box.
+    *
+    * The reference takes src points `cv2.boxPoints(...)[1:]`; cv2's order is
+    * (bl, tl, tr, br), so src = (tl, tr, br) = indices (0, 1, 2) of
+    * Rotated.boxPoints' frozen (tl, tr, br, bl) order.
     */
   def extractRCrop(img: Img, box: RBox): Img = {
     val vertical =
       (math.abs(box.alpha) < 3 && box.w * 1.3 < box.h) ||
         (90 - math.abs(box.alpha) < 3 && box.w > box.h * 1.3)
     val pts = Rotated.boxPoints(box) // (tl, tr, br, bl) in the box's own frame
-    val w = box.w
-    val h = box.h
     if (!vertical) {
-      // horizontal reading: map (tl, tr, br) -> (0,0), (w-1,0), (w-1,h-1)
-      val m = affineFrom3(Array(pts(0), pts(1), pts(2)),
-        Array((0.0, 0.0), (w - 1, 0.0), (w - 1, h - 1)))
-      warpAffine(img, m, math.max(1, w.toInt), math.max(1, h.toInt))
+      // _process_horizontal_box: normalize alpha>80 & w<h (labels rotate one
+      // position: (tl,tr,br) of the relabeled box = (bl,tl,tr) of the original)
+      val (src, w, h) =
+        if (box.alpha > 80 && box.w < box.h) (Array(pts(3), pts(0), pts(1)), box.h, box.w)
+        else (Array(pts(0), pts(1), pts(2)), box.w, box.h)
+      warpBranch(img, src, w, h, clockwise = w > h)
     } else {
-      // vertical reading: rotate the patch so the long side becomes width:
-      // (tl, tr, br) -> (0,w-1) top-left corner goes to the bottom of the
-      // transposed patch (the reference's counterclockwise dst triangle)
-      val m = affineFrom3(Array(pts(0), pts(1), pts(2)),
-        Array((0.0, w - 1), (0.0, 0.0), (h - 1, 0.0)))
-      warpAffine(img, m, math.max(1, h.toInt), math.max(1, w.toInt))
+      // _process_vertical_box: no normalization; branch sense is inverted
+      // relative to the horizontal handler (clockwise -> transposed patch)
+      warpBranch(img, Array(pts(0), pts(1), pts(2)), box.w, box.h, clockwise = !(box.w > box.h))
     }
   }
+
+  /** Shared warp tail of the two handlers: `clockwise = true` maps
+    * (tl, tr, br) -> (0,0), (w-1,0), (w-1,h-1) into a w x h patch
+    * (_utils.py:104-109,124); `false` maps onto the rotated triangle
+    * (0,w-1), (0,0), (h-1,0) into an h x w patch (_utils.py:110-120,126).
+    */
+  private def warpBranch(img: Img, src: Array[(Double, Double)],
+                         w: Double, h: Double, clockwise: Boolean): Img =
+    if (clockwise) {
+      val m = affineFrom3(src, Array((0.0, 0.0), (w - 1, 0.0), (w - 1, h - 1)))
+      warpAffine(img, m, math.max(1, w.toInt), math.max(1, h.toInt))
+    } else {
+      val m = affineFrom3(src, Array((0.0, w - 1), (0.0, 0.0), (h - 1, 0.0)))
+      warpAffine(img, m, math.max(1, h.toInt), math.max(1, w.toInt))
+    }
 }

@@ -54,11 +54,14 @@ object Detect {
     val bitmap = Bitmap.thresholdBits(cells, off, w * h, cfg.binThresh)
     val k = 1 + h / 512
     val opened = Bitmap.morphOpenBits(bitmap, w, h, k)
+    // PP use_dilation (db_postprocess.py:182-187): dilate the MASK the
+    // components are found in; scores still read the raw prob map
+    val mask = if (cfg.useDilation) Bitmap.dilateBits(opened, w, h) else opened
     val minSizeBox = 1 + h / 512
     val comps =
-      if (cfg.scoreSlow) Bitmap.connectedComponentsPixels(opened, w, h, Params.MaxCandidates)
+      if (cfg.scoreSlow) Bitmap.connectedComponentsPixels(mask, w, h, Params.MaxCandidates)
         .map(c => (Bitmap.Component(c.xMin, c.yMin, c.xMax, c.yMax), c.pixels))
-      else Bitmap.connectedComponents(opened, w, h, Params.MaxCandidates).map(c => (c, null))
+      else Bitmap.connectedComponents(mask, w, h, Params.MaxCandidates).map(c => (c, null))
     val out = comps.flatMap { case (c, pixels) =>
       // contour max-min per axis (inclusive extent) must reach min_size_box
       if (c.xMax - c.xMin < minSizeBox || c.yMax - c.yMin < minSizeBox) None
@@ -109,8 +112,9 @@ object Detect {
     val bitmap = Bitmap.thresholdBits(cells, off, w * h, cfg.binThresh)
     val k = 1 + h / 512
     val opened = Bitmap.morphOpenBits(bitmap, w, h, k)
+    val mask = if (cfg.useDilation) Bitmap.dilateBits(opened, w, h) else opened
     val minSizeBox = 1 + h / 512
-    val comps = Bitmap.connectedComponentsPixels(opened, w, h, Params.MaxCandidates)
+    val comps = Bitmap.connectedComponentsPixels(mask, w, h, Params.MaxCandidates)
     val out = comps.flatMap { c =>
       if (c.xMax - c.xMin < minSizeBox || c.yMax - c.yMin < minSizeBox) None
       else {
@@ -167,6 +171,27 @@ object Detect {
               (Rotated.rotatePage(img, -angle).cells, 0)
             }
           }
+        // cropped_img analog (cn_std.py:148-169): when crops are rendered
+        // (renderCrops, or useAngleClf whose only observable surface is the
+        // crop), the source image is materialized once per payload and each
+        // final region carries its crop's dims + content digest in the span
+        // text; useAngleClf applies the '180'-at-thresh-0.9 rotate rule
+        // (cn_std.py:190-199) to the crop BEFORE digesting.
+        val wantCrops = cfg.renderCrops || cfg.useAngleClf
+        lazy val srcImg =
+          Resize.Img(java.util.Arrays.copyOfRange(cells, off, off + w * h), w, h)
+        def digest(crop0: Resize.Img): String = {
+          val crop =
+            if (!cfg.useAngleClf) crop0
+            else {
+              val d = AngleClf.decide(AngleClf.classify(crop0.cells, crop0.w, crop0.h))
+              if (d.rotate) Resize.Img(AngleClf.rotate180(crop0.cells, crop0.w, crop0.h),
+                crop0.w, crop0.h)
+              else crop0
+            }
+          ";crop=%dx%d:%016x".formatLocal(java.util.Locale.ROOT,
+            crop.w, crop.h, fnv64(crop.cells))
+        }
         if (cfg.rotatedBbox) {
           val rs = stdRotated(cells, off, w, h, cfg)
           val withRect = rs.map { r =>
@@ -175,15 +200,40 @@ object Detect {
             (r, (pts(0)._1, pts(0)._2, pts(2)._1, pts(2)._2))
           }
           Order.finalizeBy(withRect)(_._2).map { case (r, _) =>
+            // rotated crops use extract_rcrops (_utils.py:59-160) on the rbbox
+            val suffix =
+              if (!wantCrops) ""
+              else digest(Crop.extractRCrop(srcImg, Rotated.RBox(r.cx, r.cy, r.w, r.h, r.alpha)))
             (r.kind, "[%.2f,%.2f,%.2f,%.2f,%.2f];%.4f".formatLocal(java.util.Locale.ROOT,
-              r.cx, r.cy, r.w, r.h, r.alpha, r.score))
+              r.cx, r.cy, r.w, r.h, r.alpha, r.score) + suffix)
           }
         } else {
-          Order.finalize(std(cells, off, w, h, cfg)).map(r => (r.kind, Assemble.regionText(r)))
+          Order.finalize(std(cells, off, w, h, cfg)).map { r =>
+            // straight crops use extract_crops' img[y0:y1, x0:x1] (_utils.py:30-56)
+            val suffix =
+              if (!wantCrops) ""
+              else digest(Crop.extractCrop(srcImg, r.x0, r.y0, r.x1, r.y1))
+            (r.kind, Assemble.regionText(r) + suffix)
+          }
         }
       case Payload.Candidates(stage, w, h, cands) =>
         Order.finalize(yolo(stage, w, h, cands)).map(r => (r.kind, Assemble.regionText(r)))
     }
+
+  /** FNV-1a 64 over crop bytes — a stable, dependency-free content digest for
+    * the rendered-crop invariant (the crop bytes themselves would bloat span
+    * text; equality of digests is equality of crops for test purposes).
+    */
+  private def fnv64(bytes: Array[Byte]): Long = {
+    var hash = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      hash ^= (bytes(i) & 0xffL)
+      hash *= 0x100000001b3L
+      i += 1
+    }
+    hash
+  }
 
   /** extractRendered with the degrade-don't-fail contract of extractSafe. */
   def extractRenderedSafe(payload: Array[Byte], cfg: DetectConfig): (Seq[(String, String)], Boolean) =

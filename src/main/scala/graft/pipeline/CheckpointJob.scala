@@ -19,21 +19,35 @@ import graft.table.{Manifest, RangeEntry, Snapshot}
   */
 object CheckpointJob {
 
-  /** Sample range boundaries from the docs table: nRanges-1 cut points from
-    * an evenly spaced sorted sample (the same shape Spark's RangePartitioner
-    * uses, but persisted so every resume sees identical ranges).
+  /** Sample range boundaries from the docs table WITHOUT a global sort:
+    * a seeded Bernoulli sample of doc_ids (one scan, no shuffle) is sorted on
+    * the driver and cut at even quantiles — exactly Spark's own
+    * RangePartitioner scheme, persisted so every resume sees identical
+    * ranges. Round 2 sorted + zipWithIndex'ed the FULL table just to pick
+    * nRanges-1 cut points — a complete table sort before extraction begins,
+    * a genuine scale-killer at 10^12 docs. The sample targets ~`samplePerRange`
+    * ids per range (driver memory O(nRanges * samplePerRange) strings); the
+    * cut points are approximate quantiles, which only skews range SIZES a few
+    * percent — correctness never depends on where the cuts land because
+    * ranges partition the id space exactly.
     */
-  def sampleBoundaries(docs: Dataset[Doc], nRanges: Int)(implicit spark: SparkSession): Seq[String] = {
+  def sampleBoundaries(docs: Dataset[Doc], nRanges: Int, samplePerRange: Int = 100)(
+      implicit spark: SparkSession): Seq[String] = {
     import spark.implicits._
     if (nRanges <= 1) return Seq.empty
-    val ids = docs.select($"doc_id").as[String].sort($"doc_id")
-    val n = ids.count()
+    val ids = docs.select($"doc_id").as[String]
+    val n = ids.count() // one columnar count; parquet answers from metadata
     if (n == 0) return Seq.empty
-    val step = math.max(1L, n / nRanges)
-    ids.rdd.zipWithIndex()
-      .filter { case (_, i) => i > 0 && i % step == 0 }
-      .map(_._1)
-      .collect().toSeq.distinct.sorted.take(nRanges - 1)
+    val targetSample = math.min(n, nRanges.toLong * samplePerRange).toDouble
+    val fraction = math.min(1.0, targetSample / n)
+    // seeded sample → deterministic boundaries for a given input (resume
+    // re-derives identical cuts even if the manifest were lost)
+    val sample = ids.sample(withReplacement = false, fraction, seed = 42L)
+      .collect().sorted
+    if (sample.isEmpty) return Seq.empty
+    (1 until nRanges)
+      .map(r => sample(((r.toLong * sample.length) / nRanges).toInt.min(sample.length - 1)))
+      .distinct
   }
 
   /** @param pruneMediaByRef media_ref embeds its doc_id as `m-<doc_id>-<k>`

@@ -52,7 +52,20 @@ final case class DetectConfig(
     boxThresh: Double = Params.BoxThresh,
     minBoxSize: Int = Params.MinBoxSize,
     unclipRatioOverride: Option[Double] = None,
-    scoreSlow: Boolean = false) {
+    scoreSlow: Boolean = false,
+    /** PP `use_dilation` (db_postprocess.py:52-53,182-187, default off):
+      * 2x2-dilate the binarized mask before component search. */
+    useDilation: Boolean = false,
+    /** `use_angle_clf` (cn_std.py:123,190-199, default off): classify each
+      * detected crop between ['0','180'] and rotate it 180 degrees when the
+      * label contains '180' at score > 0.9 (kernel.AngleClf). Observable in
+      * span text when `renderCrops` is also on. */
+    useAngleClf: Boolean = false,
+    /** `cropped_img` analog (cn_std.py:148-169): append the detected crop's
+      * dims + content digest to each media span's text, so the crop patch —
+      * straight extract_crops or rotated extract_rcrops, post angle-clf —
+      * is part of the row invariant instead of coordinates only. */
+    renderCrops: Boolean = false) {
   def unclipRatio: Double = unclipRatioOverride.getOrElse(
     if (rotatedBbox) Params.UnclipRatioRotated else Params.UnclipRatio)
 }

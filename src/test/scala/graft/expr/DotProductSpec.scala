@@ -50,6 +50,32 @@ class DotProductSpec extends SparkSpec {
     assert(withNull.select(call_function("graft_dot", col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("null ELEMENT nulls the whole dot (codegen and interpreted paths)") {
+    val s = spark
+    import s.implicits._
+    // containsNull=true columns via Option elements
+    val df = Seq(
+      (Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](4.0, 5.0, 6.0)),
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0))
+    ).toDF("a", "b")
+    val out = df.select(call_function("graft_dot", col("a"), col("b")).as("d"))
+      .orderBy(col("d").asc_nulls_last).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0), "null element must propagate to a null dot")
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = DotProduct(
+      Literal.create(Array[java.lang.Double](1.0, null), ArrayType(DoubleType, containsNull = true)),
+      Literal.create(Array[java.lang.Double](2.0, 3.0), ArrayType(DoubleType, containsNull = true)))
+    assert(e.eval(null) == null)
+    // a null element BEYOND the scanned (min-length) range does not null it
+    val e2 = DotProduct(
+      Literal.create(Array[java.lang.Double](2.0), ArrayType(DoubleType, containsNull = true)),
+      Literal.create(Array[java.lang.Double](3.0, null), ArrayType(DoubleType, containsNull = true)))
+    assert(e2.eval(null) == 6.0)
+  }
+
   test("usable from SQL through the registered function") {
     spark.sql("SELECT graft_dot(array(CAST(2.0 AS DOUBLE)), array(CAST(3.0 AS DOUBLE))) AS d")
       .collect().map(_.getDouble(0)).toSeq == Seq(6.0)

@@ -100,19 +100,70 @@ class CropResizeSpec extends AnyFunSuite {
     }
   }
 
-  test("P11 rotated crop of a tall vertical box transposes the patch") {
+  test("P11 vertical handler, w<=h: tall upright box stays UNtransposed") {
     val img = gradient(32, 32)
     // tall thin axis-aligned box (alpha 0, h >> w): corners x in [10, 13],
-    // y in [5, 20] → (w, h) = (3, 15), center (11.5, 12.5) → vertical handler
+    // y in [5, 20] → (w, h) = (3, 15), center (11.5, 12.5) → vertical handler,
+    // clockwise = w > h = false → _process_vertical_box's UNtransposed branch
+    // (dst [[0,0],[w-1,0],[w-1,h-1]], dsize (w, h) — _utils.py:146-158)
     val b = RBox(11.5, 12.5, 3, 15, 0)
     val r = Crop.extractRCrop(img, b)
-    assert(r.w == 15 && r.h == 3)
-    val straight = Crop.extractCrop(img, 10, 5, 14, 21)
-    // reference dst triangle maps tl -> (0, w-1): the box's top-left corner
-    // lands at the BOTTOM-left of the transposed patch
-    assert(r.cells((3 - 1) * 15 + 0) == straight.cells(0), "tl must land at (0, w-1)")
-    // and tr -> (0, 0)
-    assert(r.cells(0) == straight.cells(3), "tr must land at (0, 0)")
+    assert(r.w == 3 && r.h == 15)
+    // anchors: tl (10,5) -> (0,0), tr (13,5) -> (2,0), br (13,20) -> (2,14)
+    assert(r.cells(0) == img.cells(5 * 32 + 10), "tl -> (0,0)")
+    assert(r.cells(2) == img.cells(5 * 32 + 13), "tr -> (w-1,0)")
+    assert(r.cells(14 * 3 + 2) == img.cells(20 * 32 + 13), "br -> (w-1,h-1)")
+  }
+
+  // non-wrapping linear field (max 3*31 + 4*31 = 217 < 256): bilinear
+  // sampling of a linear field is exact, so anchor checks can compare
+  // against the analytic value at the exact (non-integer) corner coords
+  private def linField(w: Int, h: Int): Img =
+    Img(Array.tabulate(w * h)(i => ((i % w) * 3 + (i / w) * 4).toByte), w, h)
+  private def lin(p: (Double, Double)): Int = math.rint(3 * p._1 + 4 * p._2).toInt
+
+  test("P11 vertical handler, w>h: near-90 box emits the transposed patch") {
+    val img = linField(32, 32)
+    // alpha 89 (within 3 of 90) with w > 1.3h → vertical handler, clockwise
+    // branch: dst [[0,w-1],[0,0],[h-1,0]], dsize (h, w) — _utils.py:136-145,158
+    val b = RBox(16, 16, 15, 3, 89)
+    val r = Crop.extractRCrop(img, b)
+    assert(r.w == 3 && r.h == 15)
+    val pts = Rotated.boxPoints(b)
+    // tl -> (0, w-1) bottom-left, tr -> (0,0), br -> (h-1, 0) top-right
+    assert(math.abs((r.cells((15 - 1) * 3) & 0xff) - lin(pts(0))) <= 1, "tl -> (0,w-1)")
+    assert(math.abs((r.cells(0) & 0xff) - lin(pts(1))) <= 1, "tr -> (0,0)")
+    assert(math.abs((r.cells(2) & 0xff) - lin(pts(2))) <= 1, "br -> (h-1,0)")
+  }
+
+  test("P11 horizontal handler, w<=h: mid-angle box emits the transposed patch") {
+    val img = linField(32, 32)
+    // alpha 30 → NOT vertical (neither near-0 nor near-90); w=4 <= h=6 →
+    // _process_horizontal_box non-clockwise branch: transposed (h, w) patch
+    val b = RBox(16, 16, 4, 6, 30)
+    val r = Crop.extractRCrop(img, b)
+    assert(r.w == 6 && r.h == 4)
+    val pts = Rotated.boxPoints(b)
+    assert(math.abs((r.cells((4 - 1) * 6) & 0xff) - lin(pts(0))) <= 1, "tl -> (0,w-1)")
+    assert(math.abs((r.cells(0) & 0xff) - lin(pts(1))) <= 1, "tr -> (0,0)")
+    assert(math.abs((r.cells(5) & 0xff) - lin(pts(2))) <= 1, "br -> (h-1,0)")
+  }
+
+  test("P11 horizontal handler alpha>80 normalization matches the relabeled box") {
+    val img = linField(32, 32)
+    // alpha 85, w=4 < h=6, not vertical (w*1.3 < h needs near-0 alpha; here
+    // 90-85=5 >= 3): _utils.py:98-100 relabels to (w,h,alpha) = (6,4,-5),
+    // whose boxPoints are the original's rotated one position — equivalently
+    // the same rect handled with (bl,tl,tr) as the src triangle, clockwise
+    // since 6 > 4 → untransposed 6x4 patch
+    val b = RBox(16, 16, 4, 6, 85)
+    val r = Crop.extractRCrop(img, b)
+    assert(r.w == 6 && r.h == 4)
+    val pts = Rotated.boxPoints(b)
+    // relabeled tl = original bl -> (0,0); relabeled tr = original tl -> (w'-1,0)
+    assert(math.abs((r.cells(0) & 0xff) - lin(pts(3))) <= 1, "bl -> (0,0)")
+    assert(math.abs((r.cells(5) & 0xff) - lin(pts(0))) <= 1, "tl -> (w'-1,0)")
+    assert(math.abs((r.cells(3 * 6 + 5) & 0xff) - lin(pts(1))) <= 1, "tr -> (w'-1,h'-1)")
   }
 
   test("SO1 sort_box_points and order_points_clockwise canonicalize shuffles") {

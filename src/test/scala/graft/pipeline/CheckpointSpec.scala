@@ -64,6 +64,30 @@ class CheckpointSpec extends SparkSpec {
     })
   }
 
+  test("sampleBoundaries: no global sort, deterministic, ordered, covers the id space") {
+    implicit val s = spark
+    import s.implicits._
+    val (docs, _) = Extract.generate(500)
+    val shuffled = docs.repartition(7) // scrambled partitioning, unsorted input
+    val b1 = CheckpointJob.sampleBoundaries(shuffled, 8)
+    val b2 = CheckpointJob.sampleBoundaries(shuffled, 8)
+    assert(b1 == b2, "seeded sample must give identical boundaries across calls")
+    assert(b1 == b1.sorted && b1.distinct == b1)
+    assert(b1.size == 7)
+    // sub-sampled path (fraction < 1): still ordered/deterministic
+    val b3 = CheckpointJob.sampleBoundaries(shuffled, 4, samplePerRange = 20)
+    assert(b3 == b3.sorted && b3.nonEmpty && b3.size <= 3)
+    // every doc lands in a valid range
+    val ids = docs.select($"doc_id").as[String].collect()
+    assert(ids.forall(id => { val r = Manifest.rangeOf(b1, id); r >= 0 && r <= b1.size }))
+    // the boundary job itself must not sort or index the full table: its plan
+    // is scan -> sample -> collect (no Exchange, no Sort)
+    val plan = docs.select($"doc_id").sample(withReplacement = false, 0.1, 42L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort") && !plan.contains("Exchange"),
+      s"boundary sampling plan must be shuffle/sort-free:\n$plan")
+  }
+
   test("killed run resumes at first uncommitted range; result equals single-shot") {
     implicit val s = spark
     import s.implicits._

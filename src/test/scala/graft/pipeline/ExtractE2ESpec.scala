@@ -103,6 +103,27 @@ class ExtractE2ESpec extends SparkSpec {
     assert(viaCfg == direct)
   }
 
+  test("full-feature config (angle-clf + crops + dilation) equals its oracle") {
+    implicit val s = spark
+    import s.implicits._
+    // every round-3 toggle on at once: rotated default path + use_dilation +
+    // use_angle_clf + rendered crops (cn_std.py:123,148-169,190-199)
+    val cfg = graft.schema.DetectConfig(rotatedBbox = true, useDilation = true,
+      useAngleClf = true, renderCrops = true)
+    val n = 200
+    val (docs, media) = Extract.generate(n, seed)
+    val out = Extract.runConfigured(docs, media, cfg).collect().map(d => d.doc_id -> d.spans).toMap
+    assert(out.size == n)
+    (0 until n).foreach { i =>
+      val expect = Oracle.extractConfigured(GenData.doc(seed, i), ref => GenData.payload(seed, ref), cfg)
+      assert(out(expect.doc_id) == expect.spans, s"doc $i diverges from the full-feature oracle")
+    }
+    // the crop digest actually reaches the output rows
+    val stdTexts = out.values.flatten.filter(_.kind == "std_text").map(_.text)
+    assert(stdTexts.nonEmpty && stdTexts.forall(_.contains(";crop=")),
+      "std spans must carry crop digests under renderCrops")
+  }
+
   test("empty-span docs appear in the output with spans=[] like the oracle") {
     implicit val s = spark
     import s.implicits._
