@@ -67,6 +67,11 @@ object SparkEntry {
     // coin flip.
     "dd3_dedup_minhash" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupMinHash(s, d, minJaccard = 0.6).select("doc_a", "doc_b", "jaccard")),
+    // the bench-visible LSH variant: at the 0.9 gate the output is tiny on
+    // this corpus (the 0.6 run's O(n^2)-pair output measures the corpus, not
+    // the engine — Bench scaladoc), so dd3's runtime becomes driver-visible
+    "dd3_dedup_minhash09" -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupMinHash(s, d, minJaccard = 0.9).select("doc_a", "doc_b", "jaccard")),
     "dd4_dedup_simhash" -> (DedupOps.dedupSimHash _),
     "dd5_dedup_embedding" -> ((s: SparkSession, d: String) => SimilarityOps.dedupEmbedding(s, d)),
     // similarity search
@@ -76,7 +81,33 @@ object SparkEntry {
     "mm1_media_meta" -> (MultimodalOps.mediaMeta _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** Driver contract: the static map is the sf0.01 instance (the scale the
+    * driver runs Verify at). Verify itself dumps `oracleSqlFor(sfDir)` so the
+    * side-table sizes always match the scale actually run (round-2 ADVICE:
+    * the hardcoded sizes went stale at any other sf).
+    */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    val nX = ExtractOps.nDocsFor(sfDir)
+    val nAnn = graft.sources.Annotations.nFor(sfDir)
+    // documents.parquet row count per driver sf (TESTDATA.md)
+    val nDocsTable = if (sfDir.contains("sf0.1")) 5000L else 500L
+    Map(
+    // extraction value checks: the Spark pipeline's flattened spans vs the
+    // single-threaded oracle's side parquet (see ExtractOps scaladoc)
+    "x1_extract_spans" ->
+      s"""SELECT doc_id, kind, text, media_ref, span_order
+        |FROM read_parquet('${ExtractOps.oracleSpansTable(nX)}/*.parquet')
+        |ORDER BY doc_id, span_order""".stripMargin,
+    "x3_extract_rotated" ->
+      s"""SELECT doc_id, kind, text, media_ref, span_order
+        |FROM read_parquet('${ExtractOps.oracleRotatedTable(nX)}/*.parquet')
+        |ORDER BY doc_id, span_order""".stripMargin,
+    "mm1_media_meta" ->
+      s"""SELECT media_ref, stage, width, height, n_bytes, n_regions
+        |FROM read_parquet('${MultimodalOps.oracleTable(nDocsTable)}/*.parquet')
+        |ORDER BY media_ref""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_price,
@@ -206,6 +237,24 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd3_dedup_minhash09" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 1, 1))) AS i
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dd3_dedup_minhash" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
@@ -267,7 +316,7 @@ object SparkEntry {
     "x2_extract_metrics" ->
       s"""SELECT kind, count(*) AS n_spans,
         | count(DISTINCT media_ref) AS n_media
-        |FROM read_parquet('${ExtractOps.sideTable(2000)}/*.parquet')
+        |FROM read_parquet('${ExtractOps.sideTable(nX)}/*.parquet')
         |GROUP BY kind ORDER BY kind""".stripMargin,
     "src1_gt_summary" ->
       s"""SELECT img, count(*) AS n_boxes,
@@ -276,7 +325,7 @@ object SparkEntry {
         | min(least(poly[2], poly[4], poly[6], poly[8])) AS y_min,
         | max(greatest(poly[1], poly[3], poly[5], poly[7])) AS x_max,
         | max(greatest(poly[2], poly[4], poly[6], poly[8])) AS y_max
-        |FROM read_parquet('${graft.sources.Annotations.sideTable(500)}/*.parquet')
+        |FROM read_parquet('${graft.sources.Annotations.sideTable(nAnn)}/*.parquet')
         |GROUP BY img ORDER BY img""".stripMargin,
     "dd5_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -296,5 +345,6 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, n_id, round(cos, 4) AS cos, rank
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-  )
+    )
+  }
 }

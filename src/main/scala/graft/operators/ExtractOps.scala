@@ -2,11 +2,21 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.Extract
+import graft.pipeline.{Extract, GenData, Oracle}
 
 /** Driver-facing wrappers around the extraction pipeline. The interleaved doc
   * table is synthesized deterministically at a size matched to the scale
   * factor of `dir` (no external data; BASELINE.json input_hint shape).
+  *
+  * x1/x3 carry driver-visible VALUE checks (round-3): alongside the
+  * distributed pipeline's result, the per-doc single-threaded oracle
+  * (pipeline.Oracle — straight-line extraction, no joins/unions/shuffles,
+  * the same independent path ExtractE2ESpec compares against) is written as
+  * a side parquet, and the driver's DuckDB oracle SQL reads THAT back. A
+  * distribution bug (cross-partition ordering, lost docs, re-merge after
+  * skew splits) now fails the driver's rows/schema/hash compare instead of
+  * hiding behind `no_oracle`. The oracle map is distributed over doc ids for
+  * speed but shares none of the pipeline's plan machinery.
   */
 object ExtractOps {
 
@@ -16,37 +26,63 @@ object ExtractOps {
     else if (dir.contains("sf0.01")) 2000L
     else 300L
 
-  /** Full pipeline, flattened to one row per output span (deterministic order). */
-  def extractSpans(spark: SparkSession, dir: String): DataFrame = {
-    implicit val s: SparkSession = spark
-    Extract.runGenerated(nDocsFor(dir))
-      .select(col("doc_id"), explode(col("spans")).as("s"))
+  private def flatSpans(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(col("spans")).as("s"))
       .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
         col("s.media_ref").as("media_ref"), col("s.order").as("span_order"))
-      .orderBy("doc_id", "span_order")
+
+  /** Side parquet holding the single-threaded oracle's flattened spans. */
+  def oracleSpansTable(n: Long): String = OracleSide.path("x1_oracle_spans", n)
+  def oracleRotatedTable(n: Long): String = OracleSide.path("x3_oracle_rotated", n)
+
+  private def writeOracleSide(spark: SparkSession, n: Long, path: String,
+                              one: Long => graft.schema.ExtractedDoc): Unit = {
+    if (OracleSide.exists(path)) return
+    import spark.implicits._
+    spark.range(n)
+      .flatMap { i =>
+        val d = one(i)
+        d.spans.map(s => (d.doc_id, s.kind, s.text, s.media_ref, s.order))
+      }
+      .toDF("doc_id", "kind", "text", "media_ref", "span_order")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Full pipeline, flattened to one row per output span (deterministic
+    * order); also materializes the oracle side table the driver value-checks
+    * this query against.
+    */
+  def extractSpans(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val n = nDocsFor(dir)
+    writeOracleSide(spark, n, oracleSpansTable(n),
+      i => Oracle.extractGenerated(GenData.DefaultSeed, i))
+    flatSpans(Extract.runGenerated(n).toDF()).orderBy("doc_id", "span_order")
   }
 
   /** The reference-default flow (`rotated_bbox=True`, cn_std.py:49) through
     * the distributed pipeline: rotated min-area-rect regions rendered as
-    * "[cx,cy,w,h,alpha];score" spans. Gated by the rotated-oracle E2E
-    * equality (ExtractE2ESpec); driver sees rows>0 + determinism.
+    * "[cx,cy,w,h,alpha];score" spans — value-checked by the driver against
+    * the config-driven single-threaded oracle's side table.
     */
   def extractSpansRotated(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val (docs, media) = Extract.generate(nDocsFor(dir))
-    Extract.runConfigured(docs, media, graft.schema.DetectConfig.ReferenceDefault)
-      .select(col("doc_id"), explode(col("spans")).as("s"))
-      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
-        col("s.media_ref").as("media_ref"), col("s.order").as("span_order"))
-      .orderBy("doc_id", "span_order")
+    val n = nDocsFor(dir)
+    val cfg = graft.schema.DetectConfig.ReferenceDefault
+    writeOracleSide(spark, n, oracleRotatedTable(n),
+      i => Oracle.extractConfigured(GenData.doc(GenData.DefaultSeed, i),
+        ref => GenData.payload(GenData.DefaultSeed, ref), cfg))
+    val (docs, media) = Extract.generate(n)
+    flatSpans(Extract.runConfigured(docs, media, cfg).toDF()).orderBy("doc_id", "span_order")
   }
 
   /** Fixed side-table path for the exploded extraction spans at size n: the
     * driver's DuckDB oracle re-aggregates the SAME rows (the extraction
-    * content itself is gated by the Spark-vs-single-threaded-oracle E2E
-    * equality; what the oracle value-checks here is the metrics aggregation).
+    * content itself is value-checked by x1; what the oracle checks here is
+    * the metrics aggregation). Written partitioned — a `coalesce(1)` here
+    * was a single-task serialization point at scale (round-2 verdict).
     */
-  def sideTable(n: Long): String = s"/root/repo/target/oracle_side/x2_spans_$n"
+  def sideTable(n: Long): String = OracleSide.path("x2_spans", n)
 
   /** Extraction metrics table (north rule: per-partition/per-kind counts). */
   def extractMetrics(spark: SparkSession, dir: String): DataFrame = {
@@ -55,7 +91,7 @@ object ExtractOps {
     val spans = Extract.runGenerated(n)
       .select(col("doc_id"), explode(col("spans")).as("s"))
       .select(col("doc_id"), col("s.kind").as("kind"), col("s.media_ref").as("media_ref"))
-    spans.coalesce(1).write.mode("overwrite").parquet(sideTable(n))
+    spans.write.mode("overwrite").parquet(sideTable(n))
     spark.read.parquet(sideTable(n))
       .groupBy("kind")
       .agg(count(lit(1)).as("n_spans"), countDistinct(col("media_ref")).as("n_media"))

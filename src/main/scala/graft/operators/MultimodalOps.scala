@@ -29,14 +29,29 @@ object MultimodalOps {
       Detect.extract(r.payload).length)
   }
 
+  /** Side parquet holding the sequential (driver-computed) metadata oracle. */
+  def oracleTable(n: Long): String = OracleSide.path("mm1_oracle_meta", n)
+
   /** Attach a synthetic binary payload to every document row and extract
     * typed metadata + region counts inside batched mapPartitions.
+    *
+    * Driver-visible value check (round-3): the same rows are ALSO computed
+    * sequentially on the driver — plain Scala loop, no mapPartitions/batching
+    * machinery — and written as a side parquet for the DuckDB compare. The
+    * collect is bounded: one short string per document at sf scale (the check
+    * corpus), never the production path.
     */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val refs = spark.read.parquet(s"$dir/documents.parquet")
       .select(concat(lit("m-doc-"), $"doc_id").as("media_ref"))
       .as[String]
+    val side = oracleTable(refs.count())
+    if (!OracleSide.exists(side)) {
+      val seq = refs.collect().sorted.toSeq
+        .map(ref => decodeMeta(MediaRow(ref, GenData.payload(GenData.DefaultSeed, ref))))
+      spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
+    }
     val media = refs.map(ref => MediaRow(ref, GenData.payload(GenData.DefaultSeed, ref)))
     media
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(decodeMeta)))

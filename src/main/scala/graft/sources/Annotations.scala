@@ -61,17 +61,22 @@ object Annotations {
   /** Fixed side-table path for the parsed annotation rows at size n. Written
     * by gtSummary so the driver's DuckDB oracle can aggregate the SAME rows
     * (the generator PRNG is not expressible in SQL; the parse+aggregate
-    * pipeline is what the oracle value-checks).
+    * pipeline is what the oracle value-checks). Partitioned write — the
+    * round-2 `coalesce(1)` was a single-task serialization point at scale.
     */
-  def sideTable(n: Int): String = s"/root/repo/target/oracle_side/src1_ann_$n"
+  def sideTable(n: Int): String = graft.operators.OracleSide.path("src1_ann", n)
+
+  /** Doc count per driver scale factor (mirrored in SparkEntry.oracleSqlFor). */
+  def nFor(dir: String): Int =
+    if (dir.contains("sf0.1")) 2000 else if (dir.contains("sf0.01")) 500 else 100
 
   /** Per-image annotation summary (queries entry): box/ignore counts and the
     * enclosing-bbox reduce (A5 analog: array_min/array_max over coords).
     */
   def gtSummary(spark: SparkSession, dir: String): DataFrame = {
-    val n = if (dir.contains("sf0.1")) 2000 else if (dir.contains("sf0.01")) 500 else 100
+    val n = nFor(dir)
     val parsed = parseAnnotations(spark, 42L, n)
-    parsed.coalesce(1).write.mode("overwrite").parquet(sideTable(n))
+    parsed.write.mode("overwrite").parquet(sideTable(n))
     spark.read.parquet(sideTable(n))
       .withColumn("xs", array(col("poly")(0), col("poly")(2), col("poly")(4), col("poly")(6)))
       .withColumn("ys", array(col("poly")(1), col("poly")(3), col("poly")(5), col("poly")(7)))
