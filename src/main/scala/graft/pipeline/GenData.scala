@@ -11,6 +11,13 @@ import graft.schema.{Doc, Media, RawSpan, Vocab}
 object GenData {
   final val DefaultSeed = 42L
 
+  /** Generator fingerprint: bump on ANY change to the generated doc/media
+    * content or layout. Benchmark input caches embed it in their directory
+    * names, so a generator change can never silently reuse a stale
+    * pre-written corpus and compare different inputs across rounds.
+    */
+  final val Fingerprint = "g2"
+
   private val words = Vector(
     "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
     "hash", "merge", "batch", "spark", "line", "sort", "window", "span",
