@@ -122,9 +122,12 @@ object Detect {
         if (score < cfg.boxThresh) None
         else {
           val (hx, hy) = Rotated.convexHull(c.pixels, w)
-          val r = Rotated.minAreaRect(hx, hy)
-          // the rotated kernel IS the rotated_bbox=True path → ratio 2.2
-          val d = Rotated.offsetDistance(hx, hy,
+          val r = Rotated.minAreaRect(hx, hy) // rect extremes: hull == contour
+          // the rotated kernel IS the rotated_bbox=True path → ratio 2.2;
+          // d comes from the TRACED contour polygon (possibly concave), like
+          // the reference's Polygon(contour) — not from the hull (base.py:74-79)
+          val (ctx, cty) = Rotated.traceContour(c.pixels, w)
+          val d = Rotated.offsetDistance(ctx, cty,
             cfg.unclipRatioOverride.getOrElse(Params.UnclipRatioRotated))
           val gw = r.w + 2 * d
           val gh = r.h + 2 * d

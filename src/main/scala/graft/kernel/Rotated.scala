@@ -102,6 +102,68 @@ object Rotated {
     if (per <= 0) 0.0 else polygonArea(xs, ys) * ratio / per
   }
 
+  /** Traced outer boundary of an 8-connected solid component (Moore-neighbor
+    * tracing, clockwise in screen coords), as the polygon of boundary pixel
+    * CENTERS — the `cv2.findContours(RETR_EXTERNAL)` analog whose polygon the
+    * reference feeds to shapely for the unclip distance (model/base.py:74-79:
+    * `Polygon(contour)` — the contour, which may be CONCAVE, not its hull).
+    * Round 2 derived d from the convex hull; for concave components (the
+    * L-shape in RotatedSpec) the hull's larger area over-grew the rotated
+    * box relative to the reference (round-2 ADVICE). For convex components
+    * the traced polygon has exactly the hull's area and perimeter, so this
+    * changes nothing there. One-pixel-wide arms contribute out-and-back
+    * edges: zero area, doubled length — the same degenerate-ring values
+    * shapely assigns cv2's contours of 1px lines.
+    */
+  def traceContour(pixels: Array[Int], w: Int): (Array[Double], Array[Double]) = {
+    val sorted = pixels.clone()
+    java.util.Arrays.sort(sorted)
+    val sx = sorted(0) % w
+    val sy = sorted(0) / w // row-major min = topmost-then-leftmost start
+    if (sorted.length == 1) return (Array(sx.toDouble), Array(sy.toDouble))
+    @inline def member(x: Int, y: Int): Boolean =
+      x >= 0 && x < w && y >= 0 && java.util.Arrays.binarySearch(sorted, y * w + x) >= 0
+    // clockwise neighbor order in screen coords (y down): E SE S SW W NW N NE
+    val dxs = Array(1, 1, 0, -1, -1, -1, 0, 1)
+    val dys = Array(0, 1, 1, 1, 0, -1, -1, -1)
+    val xs = scala.collection.mutable.ArrayBuffer(sx.toDouble)
+    val ys = scala.collection.mutable.ArrayBuffer(sy.toDouble)
+    var cx = sx
+    var cy = sy
+    var search = 4 // nothing lies W/NW/N/NE of the start pixel: scan from W
+    var firstMove = -1
+    var iter = 0
+    val cap = 8 * sorted.length + 8
+    var done = false
+    while (!done && iter < cap) {
+      var k = 0
+      var found = -1
+      while (k < 8 && found < 0) {
+        val d = (search + k) % 8
+        if (member(cx + dxs(d), cy + dys(d))) found = d
+        k += 1
+      }
+      if (found < 0) done = true // cannot happen for n>1 8-connected components
+      else if (firstMove >= 0 && cx == sx && cy == sy && found == firstMove) {
+        done = true // Jacob's criterion: re-entering start with the first move
+      } else {
+        if (firstMove < 0) firstMove = found
+        cx += dxs(found)
+        cy += dys(found)
+        xs += cx.toDouble
+        ys += cy.toDouble
+        search = (found + 6) % 8 // resume 90 degrees CCW of the arrival direction
+      }
+      iter += 1
+    }
+    // the trace ends by arriving back at the start: drop the duplicate point
+    if (xs.length > 1 && xs.last == sx.toDouble && ys.last == sy.toDouble) {
+      xs.remove(xs.length - 1)
+      ys.remove(ys.length - 1)
+    }
+    (xs.toArray, ys.toArray)
+  }
+
   /** Min-area enclosing rectangle via rotating calipers over hull edges:
     * the optimal rectangle has one side collinear with a hull edge, so try
     * every edge direction and keep the smallest area (O(m^2), hulls are

@@ -107,6 +107,55 @@ class RotatedSpec extends AnyFunSuite {
     assert(slow.head.score == 1.0)
   }
 
+  test("traceContour: rect contour equals hull; concave L has smaller area, same rect") {
+    // solid 20x12 rect at (10,8): contour polygon must carry exactly the
+    // hull's area (19*11) and perimeter (2*(19+11))
+    val (w, h) = (64, 64)
+    val cells = blank(w, h)
+    fillRect(cells, w, 10, 8, 29, 19, 255)
+    val bits = Bitmap.thresholdBits(cells, 0, w * h, 0.3)
+    val comp = Bitmap.connectedComponentsPixels(bits, w, h, 10).head
+    val (cxs, cys) = Rotated.traceContour(comp.pixels, w)
+    assert(math.abs(Rotated.polygonArea(cxs, cys) - 19.0 * 11.0) < 1e-9)
+    assert(math.abs(Rotated.perimeter(cxs, cys) - 60.0) < 1e-9)
+
+    // L-shape: 20x20 square minus its top-right 12x12 notch. Contour area =
+    // full (19x19) minus notch ((19-7)x(19-7)) in point-extent terms;
+    // the hull spans the full square and overestimates.
+    val cells2 = blank(w, h)
+    fillRect(cells2, w, 10, 10, 29, 29, 255)
+    fillRect(cells2, w, 18, 10, 29, 21, 0) // notch: pixels x>=18, y<=21 removed
+    val bits2 = Bitmap.thresholdBits(cells2, 0, w * h, 0.3)
+    val comp2 = Bitmap.connectedComponentsPixels(bits2, w, h, 10).head
+    val (lx, ly) = Rotated.traceContour(comp2.pixels, w)
+    val contourArea = Rotated.polygonArea(lx, ly)
+    val (hx, hy) = Rotated.convexHull(comp2.pixels, w)
+    val hullArea = Rotated.polygonArea(hx, hy)
+    assert(contourArea < hullArea,
+      s"L-shape contour ($contourArea) must be smaller than its hull ($hullArea)")
+    // exact: boundary pixel centers trace (10,10)(17,10)(17,21)(18,22)
+    // (29,22)(29,29)(10,29) — the 8-connected trace steps DIAGONALLY across
+    // the reflex corner, exactly like cv2 contours: left strip 7x19 = 133,
+    // bottom strip 12x7 = 84, plus the half-pixel corner triangle = 217.5
+    assert(math.abs(contourArea - 217.5) < 1e-9, s"got $contourArea")
+    // the rotated box fed by this d must be SMALLER than the hull-based one
+    val rOut = Detect.stdRotated(cells2, 0, w, h)
+    assert(rOut.length == 1)
+    val dContour = Rotated.offsetDistance(lx, ly, Params.UnclipRatioRotated)
+    val dHull = Rotated.offsetDistance(hx, hy, Params.UnclipRatioRotated)
+    assert(dContour < dHull)
+    assert(math.abs(rOut.head.w - (19 + 2 * dContour)) < 1e-9)
+
+    // 1px horizontal line: degenerate ring, area 0, out-and-back length
+    val cells3 = blank(w, h)
+    fillRect(cells3, w, 5, 5, 14, 5, 255)
+    val bits3 = Bitmap.thresholdBits(cells3, 0, w * h, 0.3)
+    val comp3 = Bitmap.connectedComponentsPixels(bits3, w, h, 10).head
+    val (dx, dy) = Rotated.traceContour(comp3.pixels, w)
+    assert(Rotated.polygonArea(dx, dy) == 0.0)
+    assert(math.abs(Rotated.perimeter(dx, dy) - 18.0) < 1e-9) // 9 out + 9 back
+  }
+
   test("page angle: horizontal text lines read 0, slanted lines read -angle") {
     val (w, h) = (128, 128)
     def bitsOf(f: (Int, Int) => Boolean): Array[Long] = {
