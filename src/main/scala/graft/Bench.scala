@@ -61,6 +61,28 @@ object Bench {
     dt
   }
 
+  /** The same fixed spin on ALL cores at once (wall of the slowest thread):
+    * this VM's throttle can cut deliverable MULTI-core capacity while
+    * single-thread speed stays normal (observed: extraction 6x slower with
+    * the 1-thread spin unchanged), so both spins are emitted — 1-thread for
+    * per-core speed, N-thread for core capacity. On a clean host the two are
+    * within ~1.3x of each other.
+    */
+  def spinSecsParallel(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + t
+        var i = 0
+        while (i < 800000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 42L) System.err.println("")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,6 +90,7 @@ object Bench {
     implicit val s: SparkSession = spark
     spark.sparkContext.setLogLevel("ERROR")
     val spinBefore = spinSecs()
+    val spin32Before = spinSecsParallel(cpus.toInt)
 
     // ---- phase 1: extraction throughput, in a clean JVM/session ----
     // docs/sec end to end over a pre-written input table (generation and
@@ -96,12 +119,15 @@ object Bench {
     val bm = spark.read.parquet(s"$benchBase/media2").as[graft.schema.Media]
     // warm the exact plan (Janino + C2 compilation dominates cold runs), then best of 2
     Extract.run(bd, bm).write.mode("overwrite").parquet(s"$benchBase/warm")
-    // best of 3: this box's deliverable CPU swings up to 4x between minutes
-    val extractSecs = (1 to 3).map { _ =>
+    // best of 3: this box's deliverable CPU swings up to 4x between minutes;
+    // the per-attempt list is emitted so a throttle window INSIDE this run is
+    // visible in the artifact (observed same-corpus swings: 4.8s .. 31.6s)
+    val extractAttempts = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       Extract.run(bd, bm).write.mode("overwrite").parquet(s"$benchBase/out")
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    val extractSecs = extractAttempts.min
     val docsPerSec = nDocs / extractSecs
 
     // ---- phase 2: headline queries, fully materialized ----
@@ -136,12 +162,13 @@ object Bench {
       (n, math.min(t1, t2), ok1 || ok2)
     }
     val spinAfter = spinSecs()
+    val spin32After = spinSecsParallel(cpus.toInt)
 
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"extract_docs":$nDocs,"extract_secs":$extractSecs%.3f,"extract_docs_per_sec":$docsPerSec%.1f,"host_spin_secs_before":$spinBefore%.3f,"host_spin_secs_after":$spinAfter%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"extract_docs":$nDocs,"extract_secs":$extractSecs%.3f,"extract_docs_per_sec":$docsPerSec%.1f,"extract_attempt_secs":${extractAttempts.map(t => f"$t%.3f").mkString("[", ",", "]")},"host_spin_secs_before":$spinBefore%.3f,"host_spin_secs_after":$spinAfter%.3f,"host_spin_nthread_secs_before":$spin32Before%.3f,"host_spin_nthread_secs_after":$spin32After%.3f}"""
     new java.io.File("BENCH").mkdirs()
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last.json"), json + "\n")
     spark.stop()

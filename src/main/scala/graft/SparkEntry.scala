@@ -67,11 +67,13 @@ object SparkEntry {
     // coin flip.
     "dd3_dedup_minhash" -> ((s: SparkSession, d: String) =>
       DedupOps.dedupMinHash(s, d, minJaccard = 0.6).select("doc_a", "doc_b", "jaccard")),
-    // the bench-visible LSH variant: at the 0.9 gate the output is tiny on
-    // this corpus (the 0.6 run's O(n^2)-pair output measures the corpus, not
-    // the engine — Bench scaladoc), so dd3's runtime becomes driver-visible
+    // the bench-visible LSH variant: 0.9 gate + a bounded 500-doc probe
+    // window (band collisions scale with this corpus's 29% near-dup pair
+    // density regardless of the gate — see dedupMinHash scaladoc), so dd3's
+    // runtime is driver-visible without measuring the degenerate corpus
     "dd3_dedup_minhash09" -> ((s: SparkSession, d: String) =>
-      DedupOps.dedupMinHash(s, d, minJaccard = 0.9).select("doc_a", "doc_b", "jaccard")),
+      DedupOps.dedupMinHash(s, d, minJaccard = 0.9, maxDocs = 500)
+        .select("doc_a", "doc_b", "jaccard")),
     "dd4_dedup_simhash" -> (DedupOps.dedupSimHash _),
     "dd5_dedup_embedding" -> ((s: SparkSession, d: String) => SimilarityOps.dedupEmbedding(s, d)),
     // similarity search
@@ -242,7 +244,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
         |  FROM (SELECT doc_id, text,
         |          unnest(range(1, greatest(length(text) - 1, 1))) AS i
-        |        FROM documents)),
+        |        FROM documents WHERE doc_id < 500)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |common AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
