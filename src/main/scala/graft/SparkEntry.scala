@@ -57,7 +57,11 @@ object SparkEntry {
     "txt4_fingerprints" -> (TextOps.fingerprints _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
-    "dd2_ngram_jaccard" -> (TextOps.ngramJaccard _),
+    // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
+    // oracle; unbounded it times the corpus's 29% near-dup density, not the
+    // engine (round-2 verdict: dd2 must not gate the headline wall-time)
+    "dd2_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      TextOps.ngramJaccard(s, d, maxDocs = 500)),
     // est_sim (minhash agreement) is engine-internal — the oracle-checked
     // surface is the exact-verified (doc_a, doc_b, jaccard) pair set.
     // Gate 0.6: with 32x2 banding the per-pair miss probability at s>=0.6 is
@@ -225,7 +229,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, source, substr(text, CAST(i AS INT), 3) AS g
         |  FROM (SELECT doc_id, source, text,
         |          unnest(range(1, greatest(length(text) - 1, 1))) AS i
-        |        FROM documents)),
+        |        FROM documents WHERE doc_id < 500)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |common AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

@@ -43,14 +43,30 @@ object ExtractJob {
         media.repartitionByRange(media("media_ref")).write.mode(SaveMode.Overwrite).parquet(mediaDir)
         println(s"[extract-job] wrote ${spark.read.parquet(docsDir).count()} docs, " +
           s"${spark.read.parquet(mediaDir).count()} media payloads")
-      case "run" :: docsDir :: mediaDir :: outDir :: Nil =>
+      case "run" :: docsDir :: mediaDir :: outDir :: flags =>
+        // spark-submit config surface mirroring the reference's constructor/
+        // detect kwargs (cn_std.py:44-143): --rotated (rotated_bbox=True, the
+        // reference default), --auto-rotate, --angle-clf (use_angle_clf),
+        // --dilation (PP use_dilation), --crops (cropped_img digest render),
+        // --score-slow (PP score_mode='slow'). No flags = the frozen default
+        // columnar fast path.
+        val unknown = flags.filterNot(Set(
+          "--rotated", "--auto-rotate", "--angle-clf", "--dilation", "--crops", "--score-slow"))
+        require(unknown.isEmpty, s"unknown flags: $unknown")
+        val cfg = graft.schema.DetectConfig(
+          rotatedBbox = flags.contains("--rotated"),
+          autoRotateWholeImage = flags.contains("--auto-rotate"),
+          useAngleClf = flags.contains("--angle-clf"),
+          useDilation = flags.contains("--dilation"),
+          renderCrops = flags.contains("--crops"),
+          scoreSlow = flags.contains("--score-slow"))
         val docs = spark.read.parquet(docsDir).as[graft.schema.Doc]
         val media = spark.read.parquet(mediaDir).as[graft.schema.Media]
         val t0 = System.nanoTime()
-        Extract.run(docs, media).write.mode(SaveMode.Overwrite).parquet(outDir)
+        Extract.runConfigured(docs, media, cfg).write.mode(SaveMode.Overwrite).parquet(outDir)
         val secs = (System.nanoTime() - t0) / 1e9
         val written = spark.read.parquet(outDir).count()
-        println(f"[extract-job] docs=$written%d wall=$secs%.2fs throughput=${written / secs}%.1f docs/s -> $outDir")
+        println(f"[extract-job] docs=$written%d wall=$secs%.2fs throughput=${written / secs}%.1f docs/s cfg=$cfg -> $outDir")
       case "runjson" :: docsDir :: mediaDir :: outDir :: Nil =>
         // S8 text/JSON sink — the analog of the reference's det_results.txt
         // (one line per image: "filename\t<json boxes>",
@@ -72,7 +88,7 @@ object ExtractJob {
         val n = spark.read.parquet(outDir).count()
         println(s"[extract-job] stream drained; total docs in sink: $n")
       case other =>
-        System.err.println(s"usage: ExtractJob gen <nDocs> <outDir> [seed] | run <docsDir> <mediaDir> <outDir> | runjson <docsDir> <mediaDir> <outDir> | stream <docsGlob> <outDir> <ckptDir> [seed] (got: $other)")
+        System.err.println(s"usage: ExtractJob gen <nDocs> <outDir> [seed] | run <docsDir> <mediaDir> <outDir> [--rotated --auto-rotate --angle-clf --dilation --crops --score-slow] | runjson <docsDir> <mediaDir> <outDir> | stream <docsGlob> <outDir> <ckptDir> [seed] (got: $other)")
         sys.exit(2)
     }
     spark.stop()

@@ -60,6 +60,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("traceContour vs convexHull: area <= hull, perimeter >= hull, d <= d_hull") {
+    // random 8-connected blobs: union of 1-3 overlapping solid rects plus a
+    // random protruding arm, guaranteed connected through a shared anchor
+    val blobGen: Gen[Array[Int]] = for {
+      n <- Gen.choose(1, 3)
+      rects <- Gen.listOfN(n, for {
+        x0 <- Gen.choose(8, 20); y0 <- Gen.choose(8, 20)
+        w <- Gen.choose(2, 12); h <- Gen.choose(2, 12)
+      } yield (x0, y0, x0 + w, y0 + h))
+    } yield {
+      val W = 48
+      val set = scala.collection.mutable.SortedSet.empty[Int]
+      // all rects include the anchor region around (14,14) by construction
+      // ranges [8,20]x[8,20] always intersect the cell (19,19)..(20,20)? not
+      // guaranteed — force-connect by drawing a line from each rect's corner
+      // to a fixed anchor pixel
+      rects.foreach { case (x0, y0, x1, y1) =>
+        for (y <- y0 to y1; x <- x0 to x1) set += y * W + x
+        var (cx, cy) = (x0, y0)
+        while (cx != 14 || cy != 14) { // 8-connected staircase to the anchor
+          if (cx != 14) cx += (if (cx < 14) 1 else -1)
+          if (cy != 14) cy += (if (cy < 14) 1 else -1)
+          set += cy * W + cx
+        }
+      }
+      set.toArray
+    }
+    samples(blobGen, 150).foreach { pixels =>
+      val W = 48
+      val (hx, hy) = Rotated.convexHull(pixels, W)
+      val (cx, cy) = Rotated.traceContour(pixels, W)
+      val hullArea = Rotated.polygonArea(hx, hy)
+      val hullPer = Rotated.perimeter(hx, hy)
+      val cArea = Rotated.polygonArea(cx, cy)
+      val cPer = Rotated.perimeter(cx, cy)
+      assert(cArea <= hullArea + 1e-9, s"contour area $cArea > hull $hullArea")
+      assert(cPer >= hullPer - 1e-9, s"contour perimeter $cPer < hull $hullPer")
+      // hence the unclip distance never exceeds the round-2 hull-based one
+      assert(Rotated.offsetDistance(cx, cy, 2.2) <=
+        Rotated.offsetDistance(hx, hy, 2.2) + 1e-9)
+      // every traced point is a member pixel of the component
+      val members = pixels.toSet
+      cx.zip(cy).foreach { case (x, y) =>
+        assert(members.contains(y.toInt * W + x.toInt), s"traced non-member ($x,$y)")
+      }
+    }
+  }
+
   test("surviving dedup pairs: the reference keep-rule no longer fires") {
     samples(regionsGen, 200).foreach { rs =>
       val out = Order.dedupBoxes(rs).toIndexedSeq
