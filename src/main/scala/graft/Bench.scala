@@ -89,8 +89,20 @@ object Bench {
     val spark = Sessions.local(cpus.toInt, "graft-bench")
     implicit val s: SparkSession = spark
     spark.sparkContext.setLogLevel("ERROR")
+    // Burst-credit guard: a heavy run launched right after another heavy run
+    // (the driver runs Bench straight after Verify) STARTS throttled and
+    // recovers minutes in — observed extraction attempts [146, 94, 38]s with
+    // spinN 3.9s at start and 1.9s (clean) at the end of the same process.
+    // Wait out a throttled start, bounded: up to 3 x 75s while the N-thread
+    // spin reads > 1.35x the clean baseline (~1.9s on this box).
+    var spin32Before = spinSecsParallel(cpus.toInt)
+    var waitedSecs = 0
+    while (spin32Before > 2.6 && waitedSecs < 225) {
+      Thread.sleep(75000)
+      waitedSecs += 75
+      spin32Before = spinSecsParallel(cpus.toInt)
+    }
     val spinBefore = spinSecs()
-    val spin32Before = spinSecsParallel(cpus.toInt)
 
     // ---- phase 1: extraction throughput, in a clean JVM/session ----
     // docs/sec end to end over a pre-written input table (generation and
@@ -168,7 +180,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"extract_docs":$nDocs,"extract_secs":$extractSecs%.3f,"extract_docs_per_sec":$docsPerSec%.1f,"extract_attempt_secs":${extractAttempts.map(t => f"$t%.3f").mkString("[", ",", "]")},"host_spin_secs_before":$spinBefore%.3f,"host_spin_secs_after":$spinAfter%.3f,"host_spin_nthread_secs_before":$spin32Before%.3f,"host_spin_nthread_secs_after":$spin32After%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"extract_docs":$nDocs,"extract_secs":$extractSecs%.3f,"extract_docs_per_sec":$docsPerSec%.1f,"extract_attempt_secs":${extractAttempts.map(t => f"$t%.3f").mkString("[", ",", "]")},"host_spin_secs_before":$spinBefore%.3f,"host_spin_secs_after":$spinAfter%.3f,"host_spin_nthread_secs_before":$spin32Before%.3f,"host_spin_nthread_secs_after":$spin32After%.3f,"throttle_wait_secs":$waitedSecs}"""
     new java.io.File("BENCH").mkdirs()
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last.json"), json + "\n")
     spark.stop()

@@ -46,17 +46,39 @@ object StreamingExtract {
     ExtractedDoc(doc.doc_id, Assemble.assemble(doc.spans, byOffset))
   }
 
+  /** Config-driven variant of extractOne — the streaming analog of
+    * Extract.runConfigured / Oracle.extractConfigured (same rendered-kernel
+    * contract, same degrade-don't-fail, empty docs kept). The frozen Default
+    * config routes through extractOne's columnar-identical path.
+    */
+  def extractOneConfigured(doc: Doc, store: MediaStore,
+                           cfg: graft.schema.DetectConfig): ExtractedDoc = {
+    if (cfg == graft.schema.DetectConfig.Default) return extractOne(doc, store)
+    val flat = doc.spans.sortBy(_.offset).flatMap { s =>
+      if (s.kind == "media") {
+        val payload = try store.fetch(s.media_ref) catch { case _: Exception => null }
+        Detect.extractRenderedSafe(payload, cfg)._1.map { case (k, t) => (k, t, s.media_ref) }
+      } else Seq((s.kind, s.text, ""))
+    }
+    ExtractedDoc(doc.doc_id,
+      flat.zipWithIndex.map { case ((k, t, m), i) => graft.schema.OutSpan(k, t, m, i) })
+  }
+
   /** Start the streaming extraction: docsDir (parquet files, Doc schema) →
-    * outDir (append parquet), exactly-once via checkpointDir.
+    * outDir (append parquet), exactly-once via checkpointDir. `cfg` exposes
+    * the full DetectConfig surface (rotated path, angle-clf, crops, dilation)
+    * in streaming mode, mirroring ExtractJob's batch flags.
     */
   def start(docsDir: String, outDir: String, checkpointDir: String, store: MediaStore,
-            availableNow: Boolean = true)(implicit spark: SparkSession): StreamingQuery = {
+            availableNow: Boolean = true,
+            cfg: graft.schema.DetectConfig = graft.schema.DetectConfig.Default)(
+      implicit spark: SparkSession): StreamingQuery = {
     import spark.implicits._
     val docs: Dataset[Doc] = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Doc].schema)
       .parquet(docsDir)
       .as[Doc]
-    val out = docs.mapPartitions(_.map(d => extractOne(d, store)))
+    val out = docs.mapPartitions(_.map(d => extractOneConfigured(d, store, cfg)))
     val writer = out.writeStream
       .format("parquet")
       .option("path", outDir)

@@ -10,6 +10,29 @@ import graft.pipeline.{Extract, GenData}
   */
 class StreamingExtractSpec extends SparkSpec {
 
+  test("config-driven stream (rotated + crops) equals the configured oracle") {
+    implicit val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-stream-cfg").toString
+    val seed = GenData.DefaultSeed
+    val store = StreamingExtract.GeneratedMediaStore(seed)
+    val cfg = graft.schema.DetectConfig(rotatedBbox = true, renderCrops = true)
+    val docs = (0L until 60L).map(i => GenData.doc(seed, i))
+    docs.toDS().repartition(2).write.parquet(s"$base/in/b1")
+    val q = StreamingExtract.start(s"$base/in/*", s"$base/out", s"$base/ckpt", store, cfg = cfg)
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$base/out").as[graft.schema.ExtractedDoc]
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    assert(out.size == 60)
+    (0L until 60L).foreach { i =>
+      val want = graft.pipeline.Oracle.extractConfigured(
+        GenData.doc(seed, i), ref => GenData.payload(seed, ref), cfg)
+      assert(out(want.doc_id) == want.spans, s"doc $i diverges under streaming cfg")
+    }
+    // the rotated crop digests actually flow through the stream
+    assert(out.values.flatten.exists(sp => sp.kind == "std_text" && sp.text.contains(";crop=")))
+  }
+
   test("availableNow stream equals batch output and resumes exactly-once") {
     implicit val s = spark
     import s.implicits._
