@@ -97,9 +97,16 @@ object SparkEntry {
   def oracleSqlFor(sfDir: String): Map[String, String] = {
     val nX = ExtractOps.nDocsFor(sfDir)
     val nAnn = graft.sources.Annotations.nFor(sfDir)
-    // documents.parquet row count per driver sf (TESTDATA.md)
+    // documents/embeddings.parquet row counts per driver sf (TESTDATA.md)
     val nDocsTable = if (sfDir.contains("sf0.1")) 5000L else 500L
+    val nEmbTable = if (sfDir.contains("sf0.1")) 2000L else 500L
     Map(
+    // the IVF index is approximate but DETERMINISTIC (fixed summation tree in
+    // trainCentroids), so its single-threaded oracle reproduces it bit-exactly
+    "sim2_ann_ivf" ->
+      s"""SELECT q_id, n_id, cos, rank
+        |FROM read_parquet('${SimilarityOps.oracleTable(nEmbTable, SimilarityOps.NCells, SimilarityOps.NProbe)}/*.parquet')
+        |ORDER BY q_id, rank""".stripMargin,
     // extraction value checks: the Spark pipeline's flattened spans vs the
     // single-threaded oracle's side parquet (see ExtractOps scaladoc)
     "x1_extract_spans" ->

@@ -66,12 +66,20 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Fixed block count for the deterministic k-means reduction (below). */
+  final val NBlocks = 32
+
   /** L2-normalized copy of the embeddings (doubles), spread across the
     * session's cores: the sf tables arrive as one parquet file = one input
     * partition, which would serialize every kernel pass onto a single task.
+    *
+    * Partitioning is BY BLOCK (`vec_id % NBlocks`), not round-robin: each
+    * block lands wholly in one partition, which is what lets trainCentroids'
+    * per-block accumulation be bit-deterministic (see there) regardless of
+    * core count, scheduler interleaving, or session history.
     */
   private def normalized(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+    val e = emb(spark, dir).repartition(NBlocks, pmod(col("vec_id"), lit(NBlocks)))
     val n = sqrt(dot(col("embedding"), col("embedding")))
     e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double") / n).as("vec"))
@@ -137,23 +145,36 @@ object SimilarityOps {
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     for (_ <- 0 until KMeansIters) {
       val nc = centroids.length
+      // BIT-DETERMINISTIC reduction: floating-point addition is not
+      // associative, so a naive per-partition sum depends on shuffle-fetch
+      // row order and partition count — centroids (and therefore the whole
+      // ANN output) would drift in ulps across cluster sizes. Instead each
+      // partial is keyed by block = vec_id % NBlocks (a block never splits
+      // across partitions — `normalized` partitions BY block), rows within a
+      // block are sorted by vec_id before the left-to-right accumulation,
+      // and the driver merges blocks in ascending block order. The result is
+      // a fixed summation tree: same bits at local[4] and on 1000 executors,
+      // and exactly replicable by the single-threaded oracle
+      // (annIvfOracleRows) the driver value-checks sim2 against.
       val partials = cellAssignments(base, centroids, 1)
-        .select(col("cell"), col("vec")).as[(Int, Seq[Double])]
+        .select(col("vec_id"), col("cell"), col("vec")).as[(Long, Int, Seq[Double])]
         .mapPartitions { it =>
-          val sums = Array.fill(nc)(new Array[Double](dim))
-          val counts = new Array[Long](nc)
-          it.foreach { case (c, v) =>
-            counts(c) += 1
-            val s = sums(c)
-            var i = 0
-            while (i < dim) { s(i) += v(i); i += 1 }
+          it.toArray.groupBy(_._1 % NBlocks).iterator.map { case (block, rows) =>
+            val sums = Array.fill(nc)(new Array[Double](dim))
+            val counts = new Array[Long](nc)
+            rows.sortBy(_._1).foreach { case (_, c, v) =>
+              counts(c) += 1
+              val s = sums(c)
+              var i = 0
+              while (i < dim) { s(i) += v(i); i += 1 }
+            }
+            (block, sums.map(_.toSeq).toSeq, counts.toSeq)
           }
-          Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
         }
         .collect()
       val next = Array.fill(nc)(new Array[Double](dim))
       val counts = new Array[Long](nc)
-      partials.foreach { case (sums, cs) =>
+      partials.sortBy(_._1).foreach { case (_, sums, cs) =>
         for (k <- 0 until nc) {
           counts(k) += cs(k)
           var i = 0
@@ -359,10 +380,109 @@ object SimilarityOps {
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     annIvf(spark, dir, NCells, NProbe)
 
+  /** Single-threaded reimplementation of the whole IVF path — normalize,
+    * deterministic Lloyd iterations with the SAME fixed summation tree
+    * (block by vec_id % NBlocks, sort within block, merge blocks ascending),
+    * probe, exact cosine, 4dp HALF_UP round, rank. Because trainCentroids'
+    * reduction is bit-deterministic by construction, this plain-Scala loop
+    * reproduces the distributed result EXACTLY, which is what lets the
+    * driver's DuckDB hash compare value-check an approximate index
+    * (sim2 was the suite's last no_oracle query). SMALL-SCALE ORACLE ONLY:
+    * the collect is the whole embeddings table.
+    */
+  def annIvfOracleRows(spark: SparkSession, dir: String,
+                       nCells: Int = NCells, nProbe: Int = NProbe): Seq[(Long, Long, Double, Int)] = {
+    import spark.implicits._
+    val rows = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    // normalize exactly like `normalized`: graft_dot float->double products
+    // left-to-right, then per-element double division
+    val vecs: Array[(Long, Array[Double])] = rows.map { case (id, e) =>
+      var s = 0.0
+      e.foreach(f => s += f.toDouble * f.toDouble)
+      val n = math.sqrt(s)
+      (id, e.map(_.toDouble / n).toArray)
+    }
+    val dim = Dim
+    def score(v: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * c(i); i += 1 }
+      s
+    }
+    def assign(centroids: IndexedSeq[IndexedSeq[Double]], nPr: Int): Map[Long, (Int, Seq[Int])] = {
+      val cents = centroids.map(c => l2norm(c).toArray).toArray
+      vecs.map { case (id, v) =>
+        val scores = cents.map(c => score(v, c))
+        val order = Array.range(0, cents.length).sortBy(i => (-scores(i), i))
+        id -> (order(0), order.take(math.min(nPr, cents.length)).toSeq)
+      }.toMap
+    }
+    var centroids: IndexedSeq[IndexedSeq[Double]] =
+      vecs.take(nCells).map(_._2.toIndexedSeq).toIndexedSeq
+    for (_ <- 0 until KMeansIters) {
+      val cells = assign(centroids, 1)
+      val nc = centroids.length
+      val next = Array.fill(nc)(new Array[Double](dim))
+      val counts = new Array[Long](nc)
+      // the fixed summation tree of trainCentroids: per block (vec_id %
+      // NBlocks) sorted by vec_id, blocks merged in ascending order
+      vecs.groupBy(_._1 % NBlocks).toSeq.sortBy(_._1).foreach { case (_, members) =>
+        val blockSums = Array.fill(nc)(new Array[Double](dim))
+        val blockCounts = new Array[Long](nc)
+        members.sortBy(_._1).foreach { case (id, v) =>
+          val c = cells(id)._1
+          blockCounts(c) += 1
+          var i = 0
+          while (i < dim) { blockSums(c)(i) += v(i); i += 1 }
+        }
+        for (k <- 0 until nc) {
+          counts(k) += blockCounts(k)
+          var i = 0
+          while (i < dim) { next(k)(i) += blockSums(k)(i); i += 1 }
+        }
+      }
+      centroids = centroids.indices.map { k =>
+        if (counts(k) == 0) centroids(k) else next(k).map(_ / counts(k)).toIndexedSeq
+      }
+    }
+    val indexed = assign(centroids, nProbe)
+    val byId = vecs.toMap
+    vecs.filter(_._1 < NumQueries).toSeq.flatMap { case (qId, qVec) =>
+      val probes = indexed(qId)._2.toSet
+      val cands = vecs.iterator
+        .filter { case (id, _) => id != qId && probes.contains(indexed(id)._1) }
+        .map { case (id, v) => (id, score(qVec, v)) }
+        .toSeq
+      cands.sortBy { case (id, cos) => (-cos, id) }.take(TopK).zipWithIndex.map {
+        case ((nId, cos), r) =>
+          (qId, nId, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1)
+      }
+    }.sortBy(t => (t._1, t._4))
+  }
+
+  /** Side parquet holding the single-threaded IVF oracle's rows. */
+  def oracleTable(n: Long, nCells: Int, nProbe: Int): String =
+    OracleSide.path(s"sim2_oracle_ivf_c${nCells}_p$nProbe", n)
+
   /** @param nCells/nProbe index granularity — see trainCentroids for the
     *   sqrt(N) scaling rule; probe count trades recall for candidate volume.
     */
   def annIvf(spark: SparkSession, dir: String, nCells: Int, nProbe: Int): DataFrame = {
+    // driver-visible value check: write the single-threaded oracle's result
+    // as a side parquet for the DuckDB compare (bit-equal by the fixed
+    // summation tree — see annIvfOracleRows)
+    val nRows = emb(spark, dir).count()
+    val side = oracleTable(nRows, nCells, nProbe)
+    if (!OracleSide.exists(side)) {
+      import spark.implicits._
+      annIvfOracleRows(spark, dir, nCells, nProbe)
+        .toDF("q_id", "n_id", "cos", "rank")
+        .write.mode("overwrite").parquet(side)
+    }
+    annIvfDistributed(spark, dir, nCells, nProbe)
+  }
+
+  private def annIvfDistributed(spark: SparkSession, dir: String, nCells: Int, nProbe: Int): DataFrame = {
     // cache only for the Lloyd iterations (see dedupEmbedding)
     val base = normalized(spark, dir).persist()
     val centroids = trainCentroids(base, nCells)

@@ -139,6 +139,19 @@ class OperatorsSpec extends SparkSpec {
     assert(SimilarityOps.annIvf(spark, sf).where(col("rank") > SimilarityOps.TopK).count() == 0)
   }
 
+  test("ANN IVF equals its single-threaded oracle BIT-FOR-BIT (fixed summation tree)") {
+    // the whole point of trainCentroids' block-keyed reduction: the
+    // distributed index is deterministic, so the plain-Scala oracle must
+    // reproduce every row exactly — including the unrounded rank order
+    val dist = SimilarityOps.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val oracle = SimilarityOps.annIvfOracleRows(spark, sf)
+    assert(dist == oracle, {
+      val d = dist.toSet; val o = oracle.toSet
+      s"IVF diverges from oracle; dist-only=${(d -- o).take(5)} oracle-only=${(o -- d).take(5)}"
+    })
+  }
+
   test("multimodal metadata decode covers all stages with valid dimensions") {
     val rows = MultimodalOps.mediaMeta(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
