@@ -28,6 +28,21 @@ object SparkEntry {
        |        i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
        |      (a, c) -> (a * $b + c) % $m)""".stripMargin
 
+  /** DuckDB mirror of SimilarityOps.srpNearDup's bucket: sum over the 16
+    * hyperplanes of (sign bit << p), each sign taken on the 4dp-rounded
+    * double dot product with the same ±1 literal weights the Spark side
+    * builds from srpWeight (list_dot_product over DOUBLE lists folds
+    * left-to-right like graft_dot, so the doubles are bit-identical).
+    */
+  private def duckSrpBucket: String =
+    (0 until SimilarityOps.NPlanes).map { p =>
+      val w = (0 until SimilarityOps.Dim)
+        .map(d => if (SimilarityOps.srpWeight(p, d) > 0) "1.0" else "-1.0").mkString(",")
+      s"""(CASE WHEN round(list_dot_product(
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE)), [$w]), 4) >= 0
+         |  THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString("(", "\n + ", ")")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     ExtractOps.extractSpans(spark, "/root/testdata/sf0.001")
@@ -55,6 +70,7 @@ object SparkEntry {
     "txt2_quality_score" -> (TextOps.qualityScore _),
     "txt3_langid" -> (TextOps.langId _),
     "txt4_fingerprints" -> (TextOps.fingerprints _),
+    "txt5_repetition" -> (TextOps.repetitionStats _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -80,9 +96,15 @@ object SparkEntry {
         .select("doc_a", "doc_b", "jaccard")),
     "dd4_dedup_simhash" -> (DedupOps.dedupSimHash _),
     "dd5_dedup_embedding" -> ((s: SparkSession, d: String) => SimilarityOps.dedupEmbedding(s, d)),
+    // cross-doc duplicated-n-gram coverage: the linear (non-pairwise)
+    // exact-substring dedup signal — one df-count shuffle, no candidate pairs
+    "dd6_dup_ngrams" -> (DedupOps.dupNgramCoverage _),
     // similarity search
     "sim1_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim2_ann_ivf" -> (SimilarityOps.annIvf _),
+    // SRP-LSH bucketed cosine near-dup: dd5's sub-quadratic regime, with a
+    // portable-hash bucket the DuckDB oracle recomputes (full value check)
+    "sim3_srp_lsh" -> ((s: SparkSession, d: String) => SimilarityOps.srpNearDup(s, d)),
     // multimodal plumbing
     "mm1_media_meta" -> (MultimodalOps.mediaMeta _),
   )
@@ -105,21 +127,21 @@ object SparkEntry {
     // trainCentroids), so its single-threaded oracle reproduces it bit-exactly
     "sim2_ann_ivf" ->
       s"""SELECT q_id, n_id, cos, rank
-        |FROM read_parquet('${SimilarityOps.oracleTable(nEmbTable, SimilarityOps.NCells, SimilarityOps.NProbe)}/*.parquet')
+        |FROM read_parquet('${SimilarityOps.oracleTable(sfDir, nEmbTable, SimilarityOps.NCells, SimilarityOps.NProbe)}/*.parquet')
         |ORDER BY q_id, rank""".stripMargin,
     // extraction value checks: the Spark pipeline's flattened spans vs the
     // single-threaded oracle's side parquet (see ExtractOps scaladoc)
     "x1_extract_spans" ->
       s"""SELECT doc_id, kind, text, media_ref, span_order
-        |FROM read_parquet('${ExtractOps.oracleSpansTable(nX)}/*.parquet')
+        |FROM read_parquet('${ExtractOps.oracleSpansTable(sfDir, nX)}/*.parquet')
         |ORDER BY doc_id, span_order""".stripMargin,
     "x3_extract_rotated" ->
       s"""SELECT doc_id, kind, text, media_ref, span_order
-        |FROM read_parquet('${ExtractOps.oracleRotatedTable(nX)}/*.parquet')
+        |FROM read_parquet('${ExtractOps.oracleRotatedTable(sfDir, nX)}/*.parquet')
         |ORDER BY doc_id, span_order""".stripMargin,
     "mm1_media_meta" ->
       s"""SELECT media_ref, stage, width, height, n_bytes, n_regions
-        |FROM read_parquet('${MultimodalOps.oracleTable(nDocsTable)}/*.parquet')
+        |FROM read_parquet('${MultimodalOps.oracleTable(sfDir, nDocsTable)}/*.parquet')
         |ORDER BY media_ref""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -326,10 +348,58 @@ object SparkEntry {
         |                               CAST(j + ${TextOps.FpW - 1} AS INT))))) AS fps
         |  FROM hs)
         |SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin,
+    "txt5_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS ndist,
+        |    CASE WHEN len(toks) < 2 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |                  i -> toks[i] || chr(1) || toks[i+1]))) AS DOUBLE)
+        |              / CAST(len(toks) - 1 AS DOUBLE) END AS dup2
+        |  FROM d),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_cnt
+        |  FROM (SELECT doc_id, tok, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |  CASE WHEN b.n = 0 THEN 0.0
+        |       ELSE round(CAST(b.ndist AS DOUBLE) / b.n, 4) END AS distinct_ratio,
+        |  CASE WHEN b.n = 0 THEN 0.0
+        |       ELSE round(CAST(coalesce(t.top_cnt, 0) AS DOUBLE) / b.n, 4) END AS top_tok_frac,
+        |  round(b.dup2, 4) AS dup_2gram_frac
+        |FROM base b LEFT JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dd6_dup_ngrams" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - ${DedupOps.DupGramK - 2})) AS i
+        |  FROM d WHERE len(toks) >= ${DedupOps.DupGramK}),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(toks, i, i + ${DedupOps.DupGramK - 1}), ' ')) AS h
+        |  FROM idx),
+        |f AS (SELECT h, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM g JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sim3_srp_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $duckSrpBucket AS bucket FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.embedding, b2.embedding), 4) AS cos
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding, b2.embedding), 4) >= 0.35
+        |ORDER BY 1, 2""".stripMargin,
     "x2_extract_metrics" ->
       s"""SELECT kind, count(*) AS n_spans,
         | count(DISTINCT media_ref) AS n_media
-        |FROM read_parquet('${ExtractOps.sideTable(nX)}/*.parquet')
+        |FROM read_parquet('${ExtractOps.sideTable(sfDir, nX)}/*.parquet')
         |GROUP BY kind ORDER BY kind""".stripMargin,
     "src1_gt_summary" ->
       s"""SELECT img, count(*) AS n_boxes,
@@ -338,7 +408,7 @@ object SparkEntry {
         | min(least(poly[2], poly[4], poly[6], poly[8])) AS y_min,
         | max(greatest(poly[1], poly[3], poly[5], poly[7])) AS x_max,
         | max(greatest(poly[2], poly[4], poly[6], poly[8])) AS y_max
-        |FROM read_parquet('${graft.sources.Annotations.sideTable(nAnn)}/*.parquet')
+        |FROM read_parquet('${graft.sources.Annotations.sideTable(sfDir, nAnn)}/*.parquet')
         |GROUP BY img ORDER BY img""".stripMargin,
     "dd5_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

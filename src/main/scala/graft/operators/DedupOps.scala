@@ -200,4 +200,45 @@ object DedupOps {
       .where(col("hamming") <= MaxHamming)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Token-k-gram length for cross-document duplicate-substring coverage. */
+  final val DupGramK = 8
+
+  /** Cross-document duplicated-n-gram coverage (the distributed signal behind
+    * exact-substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better": long n-grams shared across documents mark
+    * memorization-prone content). Per document: how many of its distinct
+    * 8-token k-grams also occur in at least one OTHER document.
+    *
+    * Unlike the pairwise near-dup joins (dd2/dd3), this is LINEAR in corpus
+    * size: one shuffle keyed by gram hash to count document frequency (hash
+    * partial agg combines map-side), one co-keyed join back, one doc_id
+    * rollup — no candidate pair set is ever materialized. Grams are md5'd
+    * before the shuffle so the key is 32 bytes regardless of gram length;
+    * hot grams (df in the millions) are handled by AQE's skew-join split on
+    * the probe side, since the df side is one row per gram after the agg.
+    * Docs with fewer than K tokens have no k-grams and are absent (same rule
+    * both engines).
+    */
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // materialize tokens once per row (see TextOps.repetitionStats: lambdas
+    // indexing into a raw split(...) expression re-evaluate it per access)
+    val mat = docs(spark, dir)
+      .where(trim(col("text")) =!= "")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val n = size(col("toks"))
+    val grams = transform(sequence(lit(1), n - (DupGramK - 1)),
+      i => md5(array_join(slice(col("toks"), i, lit(DupGramK)), " ")))
+    val g = mat
+      .where(n >= DupGramK)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("h"))
+    val dfreq = g.groupBy("h").agg(count(lit(1)).as("df"))
+    g.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

@@ -32,8 +32,8 @@ object ExtractOps {
         col("s.media_ref").as("media_ref"), col("s.order").as("span_order"))
 
   /** Side parquet holding the single-threaded oracle's flattened spans. */
-  def oracleSpansTable(n: Long): String = OracleSide.path("x1_oracle_spans", n)
-  def oracleRotatedTable(n: Long): String = OracleSide.path("x3_oracle_rotated", n)
+  def oracleSpansTable(dir: String, n: Long): String = OracleSide.path("x1_oracle_spans", dir, n)
+  def oracleRotatedTable(dir: String, n: Long): String = OracleSide.path("x3_oracle_rotated", dir, n)
 
   private def writeOracleSide(spark: SparkSession, n: Long, path: String,
                               one: Long => graft.schema.ExtractedDoc): Unit = {
@@ -55,7 +55,7 @@ object ExtractOps {
   def extractSpans(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val n = nDocsFor(dir)
-    writeOracleSide(spark, n, oracleSpansTable(n),
+    writeOracleSide(spark, n, oracleSpansTable(dir, n),
       i => Oracle.extractGenerated(GenData.DefaultSeed, i))
     flatSpans(Extract.runGenerated(n).toDF()).orderBy("doc_id", "span_order")
   }
@@ -69,7 +69,7 @@ object ExtractOps {
     implicit val s: SparkSession = spark
     val n = nDocsFor(dir)
     val cfg = graft.schema.DetectConfig.ReferenceDefault
-    writeOracleSide(spark, n, oracleRotatedTable(n),
+    writeOracleSide(spark, n, oracleRotatedTable(dir, n),
       i => Oracle.extractConfigured(GenData.doc(GenData.DefaultSeed, i),
         ref => GenData.payload(GenData.DefaultSeed, ref), cfg))
     val (docs, media) = Extract.generate(n)
@@ -82,7 +82,7 @@ object ExtractOps {
     * the metrics aggregation). Written partitioned — a `coalesce(1)` here
     * was a single-task serialization point at scale (round-2 verdict).
     */
-  def sideTable(n: Long): String = OracleSide.path("x2_spans", n)
+  def sideTable(dir: String, n: Long): String = OracleSide.path("x2_spans", dir, n)
 
   /** Extraction metrics table (north rule: per-partition/per-kind counts). */
   def extractMetrics(spark: SparkSession, dir: String): DataFrame = {
@@ -91,8 +91,8 @@ object ExtractOps {
     val spans = Extract.runGenerated(n)
       .select(col("doc_id"), explode(col("spans")).as("s"))
       .select(col("doc_id"), col("s.kind").as("kind"), col("s.media_ref").as("media_ref"))
-    spans.write.mode("overwrite").parquet(sideTable(n))
-    spark.read.parquet(sideTable(n))
+    spans.write.mode("overwrite").parquet(sideTable(dir, n))
+    spark.read.parquet(sideTable(dir, n))
       .groupBy("kind")
       .agg(count(lit(1)).as("n_spans"), countDistinct(col("media_ref")).as("n_media"))
       .orderBy("kind")

@@ -30,7 +30,7 @@ object MultimodalOps {
   }
 
   /** Side parquet holding the sequential (driver-computed) metadata oracle. */
-  def oracleTable(n: Long): String = OracleSide.path("mm1_oracle_meta", n)
+  def oracleTable(dir: String, n: Long): String = OracleSide.path("mm1_oracle_meta", dir, n)
 
   /** Attach a synthetic binary payload to every document row and extract
     * typed metadata + region counts inside batched mapPartitions.
@@ -46,7 +46,7 @@ object MultimodalOps {
     val refs = spark.read.parquet(s"$dir/documents.parquet")
       .select(concat(lit("m-doc-"), $"doc_id").as("media_ref"))
       .as[String]
-    val side = oracleTable(refs.count())
+    val side = oracleTable(dir, refs.count())
     if (!OracleSide.exists(side)) {
       val seq = refs.collect().sorted.toSeq
         .map(ref => decodeMeta(MediaRow(ref, GenData.payload(GenData.DefaultSeed, ref))))

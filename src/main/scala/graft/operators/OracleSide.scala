@@ -20,7 +20,15 @@ object OracleSide {
   def root: String = sys.env.getOrElse("GRAFT_SIDE_ROOT",
     s"${sys.props("user.dir")}/target/oracle_side")
 
-  def path(name: String, n: Long): String = s"$root/${name}_${n}_$Version"
+  /** `dir` is the sf corpus directory the rows were computed FROM — its
+    * basename is part of the key because row counts alone COLLIDE across
+    * scale factors (sf0.001 and sf0.01 both carry 500 embeddings/documents
+    * rows): a test run at sf0.001 would otherwise seed the cache with rows
+    * Verify at sf0.01 happily reuses, failing the driver's value check with
+    * a perfectly correct engine.
+    */
+  def path(name: String, dir: String, n: Long): String =
+    s"$root/${name}_${new java.io.File(dir).getName}_${n}_$Version"
 
   /** True when a complete side table is already on disk for this (name, n,
     * Version) — deterministic content, safe to reuse (the bench's best-of-N

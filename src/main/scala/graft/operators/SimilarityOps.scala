@@ -461,8 +461,8 @@ object SimilarityOps {
   }
 
   /** Side parquet holding the single-threaded IVF oracle's rows. */
-  def oracleTable(n: Long, nCells: Int, nProbe: Int): String =
-    OracleSide.path(s"sim2_oracle_ivf_c${nCells}_p$nProbe", n)
+  def oracleTable(dir: String, n: Long, nCells: Int, nProbe: Int): String =
+    OracleSide.path(s"sim2_oracle_ivf_c${nCells}_p$nProbe", dir, n)
 
   /** @param nCells/nProbe index granularity — see trainCentroids for the
     *   sqrt(N) scaling rule; probe count trades recall for candidate volume.
@@ -472,7 +472,7 @@ object SimilarityOps {
     // as a side parquet for the DuckDB compare (bit-equal by the fixed
     // summation tree — see annIvfOracleRows)
     val nRows = emb(spark, dir).count()
-    val side = oracleTable(nRows, nCells, nProbe)
+    val side = oracleTable(dir, nRows, nCells, nProbe)
     if (!OracleSide.exists(side)) {
       import spark.implicits._
       annIvfOracleRows(spark, dir, nCells, nProbe)
@@ -507,5 +507,51 @@ object SimilarityOps {
       .where(col("rank") <= TopK)
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rank"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Hyperplane count for the SRP-LSH bucketed near-dup variant. */
+  final val NPlanes = 16
+
+  /** ±1 weight of SRP hyperplane `p` at dimension `d`, from the engine's
+    * portable integer hash family (parity of an affine map mod HashM1) — the
+    * identical arithmetic is generated into the DuckDB oracle SQL, so the
+    * bucket assignment (and therefore the pair set) is driver-value-checked.
+    */
+  private[graft] def srpWeight(p: Int, d: Int): Double = {
+    val h = ((p.toLong * Dim + d) * graft.operators.DedupOps.HashB1 + 17L) % graft.operators.DedupOps.HashM1
+    if (h % 2 == 1) 1.0 else -1.0
+  }
+
+  /** Signed-random-projection LSH near-duplicate pairs (Charikar, STOC'02):
+    * each vector's bucket is the 16-bit sign pattern of 16 fixed ±1
+    * hyperplane projections; only same-bucket pairs are scored exactly.
+    *
+    * This is dd5's sub-quadratic regime: the collision probability of a pair
+    * at angle theta is (1 - theta/pi)^16, so the equi-join on `bucket`
+    * replaces the all-pairs O(n^2/NBlocks) block join with an expected
+    * O(sum of bucket-size^2) — at 10^9 docs the 65k buckets hold ~15k docs
+    * each under a uniform corpus, and (as with dd4) skewed buckets split
+    * under AQE. Exact cosine verification runs on candidates only, so output
+    * pairs are exactly dd5's pair set restricted to same-bucket collisions
+    * (recall on THIS corpus is pinned by the subset+recall ScalaTest gate).
+    *
+    * Projections are folded left-to-right in double precision by the native
+    * `graft_dot` loop; DuckDB's `list_dot_product` over DOUBLE lists uses the
+    * same fold order (verified bit-identical), and signs are taken on the
+    * 4dp-rounded projection in both engines.
+    */
+  def srpNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val vecD = transform(col("embedding"), x => x.cast("double"))
+    val bucket = (0 until NPlanes).map { p =>
+      val w = lit((0 until Dim).map(d => srpWeight(p, d)).toArray)
+      when(round(dot(vecD, w), 4) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = emb(spark, dir).select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("vec_a", "vec_b")
   }
 }

@@ -112,6 +112,52 @@ object TextOps {
       .orderBy("doc_id", "fp")
   }
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021, §A1.1:
+    * repetitious documents are low-quality training data): token count,
+    * distinct-token ratio, top-token fraction (most frequent token's share),
+    * and duplicate-2-gram fraction. The 2-gram ratio is per-row columnar
+    * (array HOFs, codegen'd, shuffle-free); the top-token mode runs through
+    * an explode + two-level aggregation, with the per-row stats CARRIED as
+    * grouping constants instead of re-joined — ONE scan of the corpus, no
+    * join, and both agg levels combine map-side so only (doc_id, token,
+    * count) partials (plus three numeric constants) shuffle. Ratios rounded
+    * to 4dp for stable cross-engine comparison (same rule as qualityScore).
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = when(trim(col("text")) === "", array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    // materialize the token array ONCE per row before anything indexes into
+    // it: every element_at/array_distinct over the raw `when(split(...))`
+    // expression re-evaluates the full split per access (same pitfall as the
+    // fingerprints window, see above) — measured 86s -> sub-second on the
+    // sf0.01 bench
+    val mat = docs(spark, dir).select(col("doc_id"), toks.as("toks"))
+    val n = size(col("toks"))
+    // adjacent-token 2-grams; the joiner (u0001) cannot occur inside a token
+    val g2 = when(n < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n - 1),
+        i => concat(element_at(col("toks"), i), lit("\u0001"), element_at(col("toks"), i + 1))))
+    mat.select(
+        col("doc_id"), n.as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        when(n < 2, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(g2)).cast("double") / (n - 1).cast("double")).as("dup2"),
+        // explode_outer: an empty doc keeps one null-token row, so totality
+        // survives without a second scan + join (its top_cnt of 1 is dead —
+        // the n_tokens==0 guard below zeroes the fraction)
+        explode_outer(col("toks")).as("tok"))
+      .groupBy("doc_id", "n_tokens", "n_distinct", "dup2", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens", "n_distinct", "dup2").agg(max(col("c")).as("top_cnt"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(col("n_distinct").cast("double") / col("n_tokens"), 4)).as("distinct_ratio"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(coalesce(col("top_cnt"), lit(0L)).cast("double") / col("n_tokens"), 4)).as("top_tok_frac"),
+        round(col("dup2"), 4).as("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Exact deduplication: hash-groupBy on md5(text); keeper = min doc_id.
     * At 100 TB this is the standard one-shuffle exact-dedup: hash partial
     * aggregation combines map-side, so only (hash, count, min) tuples shuffle.

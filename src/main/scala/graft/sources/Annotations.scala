@@ -64,7 +64,7 @@ object Annotations {
     * pipeline is what the oracle value-checks). Partitioned write — the
     * round-2 `coalesce(1)` was a single-task serialization point at scale.
     */
-  def sideTable(n: Int): String = graft.operators.OracleSide.path("src1_ann", n)
+  def sideTable(dir: String, n: Int): String = graft.operators.OracleSide.path("src1_ann", dir, n)
 
   /** Doc count per driver scale factor (mirrored in SparkEntry.oracleSqlFor). */
   def nFor(dir: String): Int =
@@ -76,8 +76,8 @@ object Annotations {
   def gtSummary(spark: SparkSession, dir: String): DataFrame = {
     val n = nFor(dir)
     val parsed = parseAnnotations(spark, 42L, n)
-    parsed.write.mode("overwrite").parquet(sideTable(n))
-    spark.read.parquet(sideTable(n))
+    parsed.write.mode("overwrite").parquet(sideTable(dir, n))
+    spark.read.parquet(sideTable(dir, n))
       .withColumn("xs", array(col("poly")(0), col("poly")(2), col("poly")(4), col("poly")(6)))
       .withColumn("ys", array(col("poly")(1), col("poly")(3), col("poly")(5), col("poly")(7)))
       .groupBy("img")

@@ -203,6 +203,60 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"cell-blocked recall $recall below floor at threshold 0.35")
   }
 
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("repetition stats equal a plain-Scala recompute on the sf corpus") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = texts.map { case (id, text) =>
+      val toks = if (text.trim.isEmpty) Array.empty[String] else text.trim.split("\\s+")
+      val n = toks.length
+      val dup2 = if (n < 2) 0.0
+        else 1.0 - toks.sliding(2).map(_.mkString("\u0001")).toSeq.distinct.size.toDouble / (n - 1)
+      val distinctRatio = if (n == 0) 0.0 else round4(toks.distinct.length.toDouble / n)
+      val topFrac = if (n == 0) 0.0
+        else round4(toks.groupBy(identity).values.map(_.length).max.toDouble / n)
+      (id, n, distinctRatio, topFrac, round4(dup2))
+    }.toSet
+    val got = TextOps.repetitionStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)}")
+  }
+
+  test("dup-ngram coverage equals a plain-Scala inverted-index recompute") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val docGrams = texts.toSeq.flatMap { case (id, text) =>
+      val toks = if (text.trim.isEmpty) Array.empty[String] else text.trim.split("\\s+")
+      if (toks.length < DedupOps.DupGramK) None
+      else Some(id -> toks.sliding(DedupOps.DupGramK).map(_.mkString(" ")).toSeq.distinct)
+    }
+    val df = docGrams.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    val expected = docGrams.map { case (id, gs) =>
+      val nDup = gs.count(g => df(g) >= 2)
+      (id, gs.size.toLong, nDup.toLong, round4(nDup.toDouble / gs.size))
+    }.toSet
+    val got = DedupOps.dupNgramCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)}")
+  }
+
+  test("SRP-LSH near-dup is a usable-recall subset of the exact pair set") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val srp = pairs(SimilarityOps.srpNearDup(spark, sf))
+    val exact = pairs(SimilarityOps.dedupEmbeddingExact(spark, sf))
+    // same exact-cosine verification on candidates → srp ⊆ exact, values equal
+    assert((srp -- exact).isEmpty, s"SRP produced non-pairs: ${(srp -- exact).take(5)}")
+    val recall = srp.size.toDouble / math.max(1, exact.size)
+    assert(recall >= 0.3, s"16-plane bucket recall $recall below floor at threshold 0.35")
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     import spark.implicits._
     val d = Seq((10L, "same text"), (11L, "same text"), (12L, "other"))
