@@ -28,6 +28,32 @@ object SparkEntry {
        |        i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
        |      (a, c) -> (a * $b + c) % $m)""".stripMargin
 
+  /** DuckDB mirror of DedupOps.simHashSignatures as a CTE chain ending in
+    * `sig(doc_id, s)` — shared by dd4 (pairs) and dd7 (clusters).
+    */
+  private def duckSimHashCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> ''),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${duckPolyHash(DedupOps.HashB1, DedupOps.HashM1)} AS h1,
+       |    ${duckPolyHash(DedupOps.HashB2, DedupOps.HashM2)} AS h2
+       |  FROM toks),
+       |v AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN ((h1 * (bit + 1) + h2) % ${DedupOps.HashM1}) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS v
+       |  FROM h, (SELECT unnest(range(0, ${DedupOps.SimBits})) AS bit)
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+       |                  ELSE 0 END) AS BIGINT) AS s
+       |  FROM v GROUP BY 1)""".stripMargin
+
   /** DuckDB mirror of SimilarityOps.srpNearDup's bucket: sum over the 16
     * hyperplanes of (sign bit << p), each sign taken on the 4dp-rounded
     * double dot product with the same ±1 literal weights the Spark side
@@ -52,6 +78,9 @@ object SparkEntry {
     "x1_extract_spans" -> (ExtractOps.extractSpans _),
     "x2_extract_metrics" -> (ExtractOps.extractMetrics _),
     "x3_extract_rotated" -> (ExtractOps.extractSpansRotated _),
+    // every optional reference-tail feature on: dilation + angle-clf + crop
+    // digests (cropped_img analog) through the rotated pipeline
+    "x4_extract_full" -> (ExtractOps.extractSpansFull _),
     // relational / window / event plumbing
     "q1_pricing_agg" -> (RelationalOps.pricingAgg _),
     "q2_market_revenue" -> (RelationalOps.marketRevenue _),
@@ -63,6 +92,9 @@ object SparkEntry {
     "ev1_hourly_events" -> (RelationalOps.hourlyEvents _),
     "ev2_user_sessions" -> (RelationalOps.userSessions _),
     "ev3_props_agg" -> (RelationalOps.propsAgg _),
+    // ordered view->click->purchase funnel: sequential-dependency windows,
+    // one shuffle, per-user stage timestamps + depth
+    "ev4_funnel" -> (RelationalOps.eventFunnel _),
     // annotation sources (TSV index + GT line parse, SURVEY S4/S5)
     "src1_gt_summary" -> (graft.sources.Annotations.gtSummary _),
     // text analysis
@@ -71,6 +103,8 @@ object SparkEntry {
     "txt3_langid" -> (TextOps.langId _),
     "txt4_fingerprints" -> (TextOps.fingerprints _),
     "txt5_repetition" -> (TextOps.repetitionStats _),
+    // Gopher-rule composite keep/drop filter — pure map, no shuffle
+    "qf1_quality_filter" -> (TextOps.qualityFilter _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -99,6 +133,9 @@ object SparkEntry {
     // cross-doc duplicated-n-gram coverage: the linear (non-pairwise)
     // exact-substring dedup signal — one df-count shuffle, no candidate pairs
     "dd6_dup_ngrams" -> (DedupOps.dupNgramCoverage _),
+    // connected-component duplicate clusters over the dd4 pair graph:
+    // min-label propagation + pointer jumping, O(log chain) rounds
+    "dd7_dup_clusters" -> (DedupOps.dupClusters _),
     // similarity search
     "sim1_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim2_ann_ivf" -> (SimilarityOps.annIvf _),
@@ -309,32 +346,33 @@ object SparkEntry {
         |WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd4_dedup_simhash" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-        |    FROM documents)
-        |  WHERE tok <> ''),
-        |h AS (
-        |  SELECT doc_id,
-        |    ${duckPolyHash(DedupOps.HashB1, DedupOps.HashM1)} AS h1,
-        |    ${duckPolyHash(DedupOps.HashB2, DedupOps.HashM2)} AS h2
-        |  FROM toks),
-        |v AS (
-        |  SELECT doc_id, bit,
-        |    sum(CASE WHEN ((h1 * (bit + 1) + h2) % ${DedupOps.HashM1}) % 2 = 1
-        |             THEN 1 ELSE -1 END) AS v
-        |  FROM h, (SELECT unnest(range(0, ${DedupOps.SimBits})) AS bit)
-        |  GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
-        |                  ELSE 0 END) AS BIGINT) AS s
-        |  FROM v GROUP BY 1)
+      s"""WITH $duckSimHashCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= ${DedupOps.MaxHamming}
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // clusters = transitive closure of the dd4 pair graph; the recursive CTE
+    // is the oracle's independent reachability computation (the Spark side is
+    // label propagation — different algorithm, same fixpoint)
+    "dd7_dup_clusters" ->
+      s"""WITH RECURSIVE $duckSimHashCtes,
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.s, b.s)) <= ${DedupOps.MaxHamming}),
+        |edges AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.ev FROM reach r JOIN edges e ON r.b = e.eu),
+        |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1),
+        |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT l.doc_id, l.cluster_id, cs.cluster_size,
+        |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
+        |FROM lab l JOIN cs USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin,
     "txt4_fingerprints" ->
       s"""WITH hs AS (
         |  SELECT doc_id,
@@ -396,6 +434,73 @@ object SparkEntry {
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
         |WHERE round(list_cosine_similarity(a.embedding, b2.embedding), 4) >= 0.35
         |ORDER BY 1, 2""".stripMargin,
+    "qf1_quality_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) END AS mtl,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks,
+        |                x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], lower(x)))) AS DOUBLE)
+        |              / len(toks) END AS stop_r,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dist_r,
+        |    CASE WHEN len(toks) < 2 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |                  i -> toks[i] || chr(1) || toks[i+1]))) AS DOUBLE)
+        |              / CAST(len(toks) - 1 AS DOUBLE) END AS dup2
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, n, mtl, stop_r, dist_r, dup2,
+        |    CASE WHEN n < 25 THEN 'too_short'
+        |         WHEN n > 100000 THEN 'too_long'
+        |         WHEN mtl < 3.0 OR mtl > 10.0 THEN 'word_length'
+        |         WHEN stop_r < 0.01 THEN 'low_stopword'
+        |         WHEN dist_r < 0.35 THEN 'low_distinct'
+        |         WHEN dup2 > 0.06 THEN 'repetitive'
+        |         ELSE NULL END AS reject_reason
+        |  FROM s)
+        |SELECT doc_id, n AS n_tokens, round(mtl, 4) AS mean_tok_len,
+        |  round(stop_r, 4) AS stop_ratio, round(dist_r, 4) AS distinct_ratio,
+        |  round(dup2, 4) AS dup_2gram_frac, reject_reason,
+        |  CAST(reject_reason IS NULL AS INT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "ev4_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END) OVER w AS view_before
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN event_type = 'click' AND view_before IS NOT NULL THEN us END AS click_valid_us,
+        |    min(CASE WHEN event_type = 'click' AND view_before IS NOT NULL THEN us END)
+        |      OVER w AS click_before
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |a AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS first_view_us,
+        |    min(click_valid_us) AS first_click_us,
+        |    min(CASE WHEN event_type = 'purchase' AND click_before IS NOT NULL THEN us END)
+        |      AS first_purchase_us
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, first_view_us, first_click_us, first_purchase_us,
+        |  CASE WHEN first_purchase_us IS NOT NULL THEN 3
+        |       WHEN first_click_us IS NOT NULL THEN 2
+        |       WHEN first_view_us IS NOT NULL THEN 1
+        |       ELSE 0 END AS funnel_depth
+        |FROM a ORDER BY user_id""".stripMargin,
+    "x4_extract_full" ->
+      s"""SELECT doc_id, kind, text, media_ref, span_order
+        |FROM read_parquet('${ExtractOps.oracleFullTable(sfDir, nX)}/*.parquet')
+        |ORDER BY doc_id, span_order""".stripMargin,
     "x2_extract_metrics" ->
       s"""SELECT kind, count(*) AS n_spans,
         | count(DISTINCT media_ref) AS n_media

@@ -201,6 +201,72 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Iteration cap for connected-component label propagation (each round is
+    * neighbor-min + pointer-jump, so label depth halves per round: 25 rounds
+    * cover any component whose min-label tree is < 2^25 deep — far beyond any
+    * real dup cluster).
+    */
+  final val MaxCcIters = 25
+
+  /** Duplicate-cluster assignment — the production OUTPUT of near-dup
+    * detection: every document gets a cluster id (= min doc_id of its
+    * connected component in the near-dup pair graph), a cluster size, and a
+    * keeper flag (the canonical doc kept by dedup, same min-doc_id convention
+    * as dd1). Edges here are the SimHash Hamming<=3 pairs (dd4's exact,
+    * oracle-checked pair set); any pair source (MinHash, embedding) plugs in
+    * unchanged.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    clustersFromPairs(d.select(col("doc_id")),
+      simHashPairs(d).select("doc_a", "doc_b"))
+  }
+
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation with pointer jumping. Each round:
+    *   1. neighbor min:  lbl(v) <- min(lbl(v), min over neighbors u of lbl(u))
+    *   2. pointer jump:  lbl(v) <- min(lbl(v), lbl(lbl(v)))
+    * Step 2 halves the depth of every label-reference chain, so convergence is
+    * O(log(longest chain)) rounds rather than O(graph diameter) — the same
+    * doubling idea as large-star/small-star (Kiveris et al., SoCC'14), kept in
+    * label space where each round is two co-keyed joins + one agg. Per round
+    * the labels table is `localCheckpoint`ed: it both materializes the
+    * iterate and TRUNCATES lineage, so the plan Catalyst optimizes stays
+    * one-round-sized instead of growing with the loop (on a real cluster a
+    * reliable `checkpoint` dir makes the iterate survive executor loss).
+    * Dedup-pair graphs are near-cliques, so in practice 2-3 rounds converge.
+    */
+  def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < MaxCcIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("u"), col("lbl").as("ulbl")), "u")
+        .groupBy(col("v").as("doc_id")).agg(min(col("ulbl")).as("nlbl"))
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val jumped = stepped.as("s")
+        .join(stepped.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = jumped.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .where(col("lbl") =!= col("old")).count()
+      labels = jumped
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $MaxCcIters rounds")
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("lbl")).cast("int").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Token-k-gram length for cross-document duplicate-substring coverage. */
   final val DupGramK = 8
 

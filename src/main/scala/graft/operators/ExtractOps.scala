@@ -76,6 +76,28 @@ object ExtractOps {
     flatSpans(Extract.runConfigured(docs, media, cfg).toDF()).orderBy("doc_id", "span_order")
   }
 
+  def oracleFullTable(dir: String, n: Long): String = OracleSide.path("x4_oracle_full", dir, n)
+
+  /** Every optional reference-tail feature ON through the distributed
+    * pipeline: rotated boxes + PP `use_dilation` (2x2 mask dilate pre-CCL) +
+    * `use_angle_clf` ('180'@0.9 crop rotate) + crop-digest rendering (the
+    * `cropped_img` analog — dims + content hash in the span text, so the
+    * actual crop PIXELS are part of the value check, not just coordinates).
+    * Same config as the full-feature E2E gate; driver-value-checked against
+    * the config-driven single-threaded oracle's side table.
+    */
+  def extractSpansFull(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val n = nDocsFor(dir)
+    val cfg = graft.schema.DetectConfig(rotatedBbox = true, useDilation = true,
+      useAngleClf = true, renderCrops = true)
+    writeOracleSide(spark, n, oracleFullTable(dir, n),
+      i => Oracle.extractConfigured(GenData.doc(GenData.DefaultSeed, i),
+        ref => GenData.payload(GenData.DefaultSeed, ref), cfg))
+    val (docs, media) = Extract.generate(n)
+    flatSpans(Extract.runConfigured(docs, media, cfg).toDF()).orderBy("doc_id", "span_order")
+  }
+
   /** Fixed side-table path for the exploded extraction spans at size n: the
     * driver's DuckDB oracle re-aggregates the SAME rows (the extraction
     * content itself is value-checked by x1; what the oracle checks here is

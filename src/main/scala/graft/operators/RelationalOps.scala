@@ -112,6 +112,45 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), round(avg("k"), 4).as("avg_k"))
       .orderBy("event_type")
 
+  /** Ordered view→click→purchase funnel per user: a click only counts if a
+    * view happened STRICTLY before it (row order (ts, event_id)), a purchase
+    * only after such a click. Sequential dependencies are resolved with
+    * running-min windows over the preceding frame — both window layers share
+    * one partitioning+ordering, so the whole funnel is ONE shuffle + one sort
+    * per user partition, then a partial-agg rollup. Stage timestamps are
+    * emitted as epoch micros (BIGINT) so cross-engine hashing is exact.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    eventFunnelOf(t(spark, dir, "events"))
+
+  def eventFunnelOf(events: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ts is TIMESTAMP_NTZ; cast to instant (session tz is UTC) for micros math
+    val e = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val viewUs = when(col("event_type") === "view", col("us"))
+    val clickValid = when(col("event_type") === "click" && col("view_before").isNotNull, col("us"))
+    val purchaseValid =
+      when(col("event_type") === "purchase" && col("click_before").isNotNull, col("us"))
+    val agg = e
+      .withColumn("view_before", min(viewUs).over(wPrev))
+      .withColumn("click_valid_us", clickValid)
+      .withColumn("click_before", min(col("click_valid_us")).over(wPrev))
+      .groupBy("user_id")
+      .agg(min(viewUs).as("first_view_us"),
+        min(col("click_valid_us")).as("first_click_us"),
+        min(purchaseValid).as("first_purchase_us"))
+    agg.select(col("user_id"), col("first_view_us"), col("first_click_us"),
+        col("first_purchase_us"),
+        when(col("first_purchase_us").isNotNull, 3)
+          .when(col("first_click_us").isNotNull, 2)
+          .when(col("first_view_us").isNotNull, 1)
+          .otherwise(0).as("funnel_depth"))
+      .orderBy("user_id")
+  }
+
   /** Gap-based sessionization (30-min inactivity) — lag window + running sum,
     * integer microsecond arithmetic so both engines agree exactly.
     */

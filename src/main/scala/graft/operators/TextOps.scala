@@ -158,6 +158,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-rule composite quality filter (Rae et al. 2021 §A1.1 shape):
+    * per-document signals plus a keep/drop decision and the FIRST failing
+    * rule's name. Entirely per-row columnar — a pure map over the scan, no
+    * shuffle anywhere (the filter stage of a 100 TB pipeline must be
+    * embarrassingly parallel; the orderBy here is presentation-only for the
+    * oracle compare). Thresholds are calibrated so every data-dependent rule
+    * fires on a real slice of this corpus (min-token p10 ~21, distinct-ratio
+    * p25 0.36, dup-2gram p90 0.065, stopword p5 0.0). Rule evaluation uses
+    * the RAW double ratios (bit-identical IEEE division in both engines);
+    * rounding to 4dp is display-only.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterOf(docs(spark, dir))
+
+  def qualityFilterOf(d: DataFrame): DataFrame = {
+    val toks = when(trim(col("text")) === "", array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    val mat = d.select(col("doc_id"), toks.as("toks"))
+    val n = size(col("toks"))
+    val nD = n.cast("double")
+    val meanTokLen = when(n === 0, 0.0)
+      .otherwise(length(array_join(col("toks"), "")).cast("double") / nD)
+    val stopRatio = when(n === 0, 0.0)
+      .otherwise(size(filter(col("toks"),
+        x => array_contains(lit(Stopwords.toArray), lower(x)))).cast("double") / nD)
+    val distinctRatio = when(n === 0, 0.0)
+      .otherwise(size(array_distinct(col("toks"))).cast("double") / nD)
+    val g2 = when(n < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n - 1),
+        i => concat(element_at(col("toks"), i), lit("\u0001"), element_at(col("toks"), i + 1))))
+    val dup2 = when(n < 2, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g2)).cast("double") / (n - 1).cast("double"))
+    mat
+      .select(col("doc_id"), n.as("n_tokens"), meanTokLen.as("mtl"),
+        stopRatio.as("stop_r"), distinctRatio.as("dist_r"), dup2.as("dup2"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mtl"), 4).as("mean_tok_len"),
+        round(col("stop_r"), 4).as("stop_ratio"),
+        round(col("dist_r"), 4).as("distinct_ratio"),
+        round(col("dup2"), 4).as("dup_2gram_frac"),
+        // first-failing-rule semantics: order matters and is part of the spec
+        when(col("n_tokens") < 25, "too_short")
+          .when(col("n_tokens") > 100000, "too_long")
+          .when(col("mtl") < 3.0 || col("mtl") > 10.0, "word_length")
+          .when(col("stop_r") < 0.01, "low_stopword")
+          .when(col("dist_r") < 0.35, "low_distinct")
+          .when(col("dup2") > 0.06, "repetitive")
+          .otherwise(null).as("reject_reason"))
+      .withColumn("keep", col("reject_reason").isNull.cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Exact deduplication: hash-groupBy on md5(text); keeper = min doc_id.
     * At 100 TB this is the standard one-shuffle exact-dedup: hash partial
     * aggregation combines map-side, so only (hash, count, min) tuples shuffle.

@@ -267,4 +267,66 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toSet
     assert(out == Set(2L -> 10L, 1L -> 12L))
   }
+
+  test("dup clusters: components, sizes, keepers on a hand graph") {
+    import spark.implicits._
+    val nodes = (1L to 8L).toDF("doc_id")
+    // {1,2,3,4} via a path (exercises multi-hop), {5,6}, singletons 7, 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.clustersFromPairs(nodes, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.map(_._1).toSeq == (1L to 8L).toSeq, "one row per node, ordered")
+    val byDoc = out.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(d => assert(byDoc(d)._1 == 1L && byDoc(d)._2 == 4L))
+    Seq(5L, 6L).foreach(d => assert(byDoc(d)._1 == 5L && byDoc(d)._2 == 2L))
+    Seq(7L, 8L).foreach(d => assert(byDoc(d) == ((d, 1L, 1))))
+    assert(out.filter(_._4 == 1).map(_._1).toSet == Set(1L, 5L, 7L, 8L), "keepers = component minima")
+  }
+
+  test("dup clusters: long chain converges via pointer jumping") {
+    import spark.implicits._
+    val n = 40L
+    val nodes = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = DedupOps.clustersFromPairs(nodes, pairs).collect()
+    assert(out.length == n)
+    // a 40-node path has diameter 39 >> MaxCcIters; only the jump step's
+    // doubling makes the cap reachable
+    assert(out.forall(r => r.getLong(1) == 1L && r.getLong(2) == n))
+  }
+
+  test("quality filter: first-failing-rule semantics on planted docs") {
+    import spark.implicits._
+    val normal = (1 to 30).map(i => s"the word$i").mkString(" ")   // 60 tokens, stopwords, distinct
+    val d = Seq(
+      (1L, normal),
+      (2L, "too short"),                                          // n_tokens < 25
+      (3L, Seq.fill(30)("spark engine").mkString(" ")),           // no stopwords -> low_stopword
+      (4L, "the " + Seq.fill(40)("xyzzy").mkString(" ")))         // stop ok, distinct 2/41 -> low_distinct
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityFilterOf(d).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(6)), r.getInt(7)))).toMap
+    assert(out(1L) == ((None, 1)), s"normal doc rejected: ${out(1L)}")
+    assert(out(2L) == ((Some("too_short"), 0)))
+    assert(out(3L) == ((Some("low_stopword"), 0)))
+    assert(out(4L) == ((Some("low_distinct"), 0)))
+  }
+
+  test("event funnel: strict ordering of view -> click -> purchase") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val e = Seq(
+      // user 1: full ordered funnel
+      (1L, 1L, ts(10), "view"), (2L, 1L, ts(20), "click"), (3L, 1L, ts(30), "purchase"),
+      // user 2: click BEFORE the view never counts; purchase without valid click -> depth 1
+      (4L, 2L, ts(10), "click"), (5L, 2L, ts(20), "view"), (6L, 2L, ts(30), "purchase"),
+      // user 3: purchase before the valid click -> depth 2
+      (7L, 3L, ts(10), "view"), (8L, 3L, ts(15), "purchase"), (9L, 3L, ts(20), "click"),
+      // user 4: no view at all
+      (10L, 4L, ts(10), "click"), (11L, 4L, ts(20), "error"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = RelationalOps.eventFunnelOf(e).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0), s"got $out")
+  }
 }
