@@ -241,7 +241,11 @@ object DedupOps {
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    // iterate ONLY over edge-touched nodes: in a real corpus dup-involved
+    // docs are a small fraction of 10^9+, so the loop's working set is the
+    // dup subgraph, not the corpus; singletons re-join once at the end
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxCcIters) {
@@ -260,9 +264,15 @@ object DedupOps {
       iter += 1
     }
     require(changed == 0, s"label propagation did not converge in $MaxCcIters rounds")
+    // clustered sizes come from the SMALL labels table; untouched nodes are
+    // singletons by construction (size 1, own label) — the full corpus is
+    // scanned once and joined against two broadcastable sides
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
-      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"),
+    nodes.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+      .join(sizes, Seq("lbl"), "left")
+      .select(col("doc_id"), col("lbl").as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         (col("doc_id") === col("lbl")).cast("int").as("is_keeper"))
       .orderBy("doc_id")
   }
