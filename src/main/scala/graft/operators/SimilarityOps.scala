@@ -541,12 +541,19 @@ object SimilarityOps {
     * 4dp-rounded projection in both engines.
     */
   def srpNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val vecD = transform(col("embedding"), x => x.cast("double"))
+    // materialize the double-cast ONCE per row in its own select: inlined
+    // into the 16 plane dots it would re-run per plane (transform is a
+    // CodegenFallback HOF — 16 interpreted array casts per row per join
+    // side, measured 3.7s; CollapseProject keeps the split because a
+    // non-cheap expr with 16 references must not be duplicated)
     val bucket = (0 until NPlanes).map { p =>
       val w = lit((0 until Dim).map(d => srpWeight(p, d)).toArray)
-      when(round(dot(vecD, w), 4) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(round(dot(col("vd"), w), 4) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val b = emb(spark, dir).select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val b = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -138,14 +138,20 @@ object TextOps {
       .otherwise(transform(sequence(lit(1), n - 1),
         i => concat(element_at(col("toks"), i), lit("\u0001"), element_at(col("toks"), i + 1))))
     mat.select(
-        col("doc_id"), n.as("n_tokens"),
+        col("doc_id"), col("toks"), n.as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
         when(n < 2, lit(0.0))
           .otherwise(lit(1.0) -
-            size(array_distinct(g2)).cast("double") / (n - 1).cast("double")).as("dup2"),
-        // explode_outer: an empty doc keeps one null-token row, so totality
-        // survives without a second scan + join (its top_cnt of 1 is dead —
-        // the n_tokens==0 guard below zeroes the fraction)
+            size(array_distinct(g2)).cast("double") / (n - 1).cast("double")).as("dup2"))
+      // the stats MUST be a separate select below the explode: a single
+      // select(stats..., explode(toks)) analyzes into Project(stats) ABOVE
+      // the Generate, re-evaluating the array-HOF stats once per TOKEN row
+      // (~n_tokens x blowup; measured 8.9s -> 1.3s at sf0.1). Split this way
+      // they sit in the Generate's child and ride through as plain columns.
+      // explode_outer: an empty doc keeps one null-token row, so totality
+      // survives without a second scan + join (its top_cnt of 1 is dead —
+      // the n_tokens==0 guard below zeroes the fraction)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("dup2"),
         explode_outer(col("toks")).as("tok"))
       .groupBy("doc_id", "n_tokens", "n_distinct", "dup2", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "n_tokens", "n_distinct", "dup2").agg(max(col("c")).as("top_cnt"))

@@ -54,6 +54,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapGroups"), "block-pair groups missing")
   }
 
+  test("quality filter's only exchange is the presentation sort") {
+    // the filter stage of a 100 TB pipeline must be a pure map: any DATA
+    // shuffle (hash/round-robin exchange) creeping in is a regression; the
+    // single rangepartitioning exchange serves the deterministic output order
+    val p = plan(TextOps.qualityFilter(spark, sf))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("rangepartitioning")),
+      s"qf1 gained a data shuffle:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("event funnel pays exactly one hash exchange") {
+    // both windows and the partial+final agg must share the user_id
+    // partitioning; a second hashpartitioning exchange means the plan
+    // re-shuffled between window and aggregate
+    val p = plan(RelationalOps.eventFunnel(spark, sf))
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(hashEx == 1, s"ev4 has $hashEx hash exchanges (want 1):\n${p.take(2000)}")
+  }
+
   test("token count stays inside whole-stage codegen") {
     val df = TextOps.tokenCount(spark, sf)
     df.collect() // materialize so AQE finalizes the physical plan
