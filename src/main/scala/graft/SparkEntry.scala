@@ -389,8 +389,8 @@ object SparkEntry {
     "txt5_repetition" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS toks
         |  FROM documents),
         |base AS (
         |  SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS ndist,
@@ -437,8 +437,8 @@ object SparkEntry {
     "qf1_quality_filter" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, len(toks) AS n,

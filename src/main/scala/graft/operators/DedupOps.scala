@@ -187,7 +187,13 @@ object DedupOps {
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame =
     simHashPairs(docs(spark, dir))
 
-  def simHashPairs(d: DataFrame): DataFrame = {
+  def simHashPairs(d: DataFrame): DataFrame =
+    simHashPairsUnsorted(d).orderBy("doc_a", "doc_b")
+
+  /** The pair set without dd4's presentation sort — consumers that only need
+    * the SET (dd7's connected components) skip the global range sort.
+    */
+  private[operators] def simHashPairsUnsorted(d: DataFrame): DataFrame = {
     val sig = simHashSignatures(d)
     val chunks = sig.select(col("doc_id"), col("simhash"),
       explode(array(simHashKeys(col("simhash")): _*)).as("k"))
@@ -198,7 +204,6 @@ object DedupOps {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= MaxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Iteration cap for connected-component label propagation (each round is
@@ -219,7 +224,7 @@ object DedupOps {
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     clustersFromPairs(d.select(col("doc_id")),
-      simHashPairs(d).select("doc_a", "doc_b"))
+      simHashPairsUnsorted(d).select("doc_a", "doc_b"))
   }
 
   /** Connected components over an undirected pair list via iterative
@@ -254,7 +259,7 @@ object DedupOps {
         .groupBy(col("v").as("doc_id")).agg(min(col("ulbl")).as("nlbl"))
       val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val jumped = stepped.as("s")
+      val jumped = stepped
         .join(stepped.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("doc_id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .localCheckpoint()

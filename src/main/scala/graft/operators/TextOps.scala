@@ -112,6 +112,27 @@ object TextOps {
       .orderBy("doc_id", "fp")
   }
 
+  /** Whitespace token array of a text column; null and blank text both yield
+    * the EMPTY array (the DuckDB mirrors coalesce(text, '') the same way —
+    * without the guard Spark's size(null) = -1 and DuckDB's len(NULL) = NULL
+    * silently diverge on any future null-text row). Shared by txt5 and qf1 so
+    * their tokenizations cannot drift apart.
+    */
+  private[operators] def tokensOf(text: Column): Column = {
+    val t = trim(coalesce(text, lit("")))
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Adjacent-token 2-grams over a MATERIALIZED token-array column (callers
+    * must alias tokensOf into a column first — see the re-evaluation pitfalls
+    * documented on fingerprints and repetitionStats). The joiner (u0001)
+    * cannot occur inside a whitespace token.
+    */
+  private[operators] def bigramsOf(toks: Column, n: Column): Column =
+    when(n < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n - 1),
+        i => concat(element_at(toks, i), lit("\u0001"), element_at(toks, i + 1))))
+
   /** Gopher-style repetition signals per document (Rae et al. 2021, §A1.1:
     * repetitious documents are low-quality training data): token count,
     * distinct-token ratio, top-token fraction (most frequent token's share),
@@ -124,19 +145,14 @@ object TextOps {
     * to 4dp for stable cross-engine comparison (same rule as qualityScore).
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = when(trim(col("text")) === "", array().cast("array<string>"))
-      .otherwise(split(trim(col("text")), "\\s+"))
     // materialize the token array ONCE per row before anything indexes into
     // it: every element_at/array_distinct over the raw `when(split(...))`
     // expression re-evaluates the full split per access (same pitfall as the
     // fingerprints window, see above) — measured 86s -> sub-second on the
     // sf0.01 bench
-    val mat = docs(spark, dir).select(col("doc_id"), toks.as("toks"))
+    val mat = docs(spark, dir).select(col("doc_id"), tokensOf(col("text")).as("toks"))
     val n = size(col("toks"))
-    // adjacent-token 2-grams; the joiner (u0001) cannot occur inside a token
-    val g2 = when(n < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), n - 1),
-        i => concat(element_at(col("toks"), i), lit("\u0001"), element_at(col("toks"), i + 1))))
+    val g2 = bigramsOf(col("toks"), n)
     mat.select(
         col("doc_id"), col("toks"), n.as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
@@ -179,9 +195,7 @@ object TextOps {
     qualityFilterOf(docs(spark, dir))
 
   def qualityFilterOf(d: DataFrame): DataFrame = {
-    val toks = when(trim(col("text")) === "", array().cast("array<string>"))
-      .otherwise(split(trim(col("text")), "\\s+"))
-    val mat = d.select(col("doc_id"), toks.as("toks"))
+    val mat = d.select(col("doc_id"), tokensOf(col("text")).as("toks"))
     val n = size(col("toks"))
     val nD = n.cast("double")
     val meanTokLen = when(n === 0, 0.0)
@@ -191,9 +205,7 @@ object TextOps {
         x => array_contains(lit(Stopwords.toArray), lower(x)))).cast("double") / nD)
     val distinctRatio = when(n === 0, 0.0)
       .otherwise(size(array_distinct(col("toks"))).cast("double") / nD)
-    val g2 = when(n < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), n - 1),
-        i => concat(element_at(col("toks"), i), lit("\u0001"), element_at(col("toks"), i + 1))))
+    val g2 = bigramsOf(col("toks"), n)
     val dup2 = when(n < 2, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(g2)).cast("double") / (n - 1).cast("double"))
     mat

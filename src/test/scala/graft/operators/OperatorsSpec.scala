@@ -312,6 +312,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ((Some("low_distinct"), 0)))
   }
 
+  test("quality filter: null text behaves as empty text (cross-engine contract)") {
+    import spark.implicits._
+    // without the tokensOf coalesce guard, Spark's size(null) = -1 while
+    // DuckDB's len(NULL) = NULL — null-text rows would silently diverge
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    TextOps.qualityFilterOf(d).collect().foreach { r =>
+      assert(r.getInt(1) == 0, s"n_tokens for doc ${r.getLong(0)}")
+      assert(r.getString(6) == "too_short" && r.getInt(7) == 0)
+    }
+  }
+
   test("event funnel: strict ordering of view -> click -> purchase") {
     import spark.implicits._
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
