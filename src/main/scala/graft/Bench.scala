@@ -38,7 +38,7 @@ object Bench {
     "x1_extract_spans", "x2_extract_metrics", "x3_extract_rotated", "x4_extract_full",
     "q1_pricing_agg", "q2_market_revenue", "q3_nation_top_customers",
     "q4_shipdate_filter", "q5_priority_heavy_orders", "q6_brand_stats", "q7_shipping_priority",
-    "ev1_hourly_events", "ev2_user_sessions", "ev4_funnel",
+    "ev1_hourly_events", "ev2_user_sessions", "ev4_funnel", "ev5_retention",
     "txt1_token_count", "txt2_quality_score", "txt3_langid", "txt5_repetition",
     "qf1_quality_filter",
     "dd1_dedup_exact", "dd2_ngram_jaccard", "dd3_dedup_minhash09",

@@ -95,6 +95,8 @@ object SparkEntry {
     // ordered view->click->purchase funnel: sequential-dependency windows,
     // one shuffle, per-user stage timestamps + depth
     "ev4_funnel" -> (RelationalOps.eventFunnel _),
+    // hour-over-hour cohort retention: distinct pairs + shifted-key self-join
+    "ev5_retention" -> (RelationalOps.retention _),
     // annotation sources (TSV index + GT line parse, SURVEY S4/S5)
     "src1_gt_summary" -> (graft.sources.Annotations.gtSummary _),
     // text analysis
@@ -497,6 +499,20 @@ object SparkEntry {
         |       WHEN first_view_us IS NOT NULL THEN 1
         |       ELSE 0 END AS funnel_depth
         |FROM a ORDER BY user_id""".stripMargin,
+    "ev5_retention" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events),
+        |cohort AS (SELECT hour, count(*) AS n_active FROM uh GROUP BY 1),
+        |ret AS (
+        |  SELECT a.hour, count(*) AS n_retained
+        |  FROM uh a JOIN uh b
+        |    ON a.user_id = b.user_id AND b.hour = a.hour + INTERVAL 1 HOUR
+        |  GROUP BY 1)
+        |SELECT c.hour, c.n_active,
+        |  coalesce(r.n_retained, 0) AS n_retained,
+        |  round(coalesce(r.n_retained, 0) / CAST(c.n_active AS DOUBLE), 4) AS retention
+        |FROM cohort c LEFT JOIN ret r USING (hour)
+        |ORDER BY c.hour""".stripMargin,
     "x4_extract_full" ->
       s"""SELECT doc_id, kind, text, media_ref, span_order
         |FROM read_parquet('${ExtractOps.oracleFullTable(sfDir, nX)}/*.parquet')

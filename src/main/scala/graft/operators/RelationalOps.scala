@@ -104,6 +104,30 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** Hour-over-hour cohort retention: of the users active in hour h, how many
+    * are also active in hour h+1. Distinct (user, hour) pairs self-joined on
+    * the shifted hour key — the distinct is one shuffle with map-side
+    * combine; the self-join reuses its output on both sides (same exchange,
+    * different join key on the probe side). Ratio rounded 4dp.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val uh = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .distinct()
+    val cohort = uh.groupBy("hour").agg(count(lit(1)).as("n_active"))
+    val retained = uh.as("a")
+      .join(uh.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.hour") === col("a.hour") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("a.hour").as("hour")).agg(count(lit(1)).as("n_retained"))
+    cohort.join(retained, Seq("hour"), "left")
+      .select(col("hour"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        round(coalesce(col("n_retained"), lit(0L)).cast("double") / col("n_active"), 4)
+          .as("retention"))
+      .orderBy("hour")
+  }
+
   /** JSON scalar extraction over the event props column (X6 in SURVEY §2.8). */
   def propsAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
