@@ -40,6 +40,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: state machine advances across micro-batches, strict order within") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.StreamEvent
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingOps.funnelDepth(in.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1 — user 1: view only; user 2: click BEFORE view (in-batch
+      // (ts, event_id) order must gate it out); user 3: purchase with no view
+      in.addData(
+        StreamEvent(1L, 1L, ts(1), "view"),
+        StreamEvent(3L, 2L, ts(3), "click"), StreamEvent(4L, 2L, ts(4), "view"),
+        StreamEvent(5L, 3L, ts(5), "purchase"))
+      q.processAllAvailable()
+      // batch 2 — user 1 completes click+purchase (state carried over);
+      // user 2's click now follows its view (cross-batch arrival order);
+      // user 3 stays depth 0 (purchase without click never re-qualifies)
+      in.addData(
+        StreamEvent(6L, 1L, ts(6), "click"), StreamEvent(7L, 1L, ts(7), "purchase"),
+        StreamEvent(8L, 2L, ts(8), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val perUser = rows.groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+      assert(perUser(1L) == List(1, 3), s"user 1 monotone updates: $perUser")
+      assert(perUser(2L) == List(1, 2), s"user 2 click-before-view gated in batch 1: $perUser")
+      assert(!perUser.contains(3L), s"user 3 never entered the funnel: $perUser")
+    } finally q.stop()
+  }
+
   test("watermarked hourly windows finalize once and drop too-late rows") {
     val s = spark
     import s.implicits._
