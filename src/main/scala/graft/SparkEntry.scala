@@ -54,19 +54,20 @@ object SparkEntry {
        |                  ELSE 0 END) AS BIGINT) AS s
        |  FROM v GROUP BY 1)""".stripMargin
 
-  /** DuckDB mirror of SimilarityOps.srpNearDup's bucket: sum over the 16
-    * hyperplanes of (sign bit << p), each sign taken on the 4dp-rounded
-    * double dot product with the same ±1 literal weights the Spark side
-    * builds from srpWeight (list_dot_product over DOUBLE lists folds
-    * left-to-right like graft_dot, so the doubles are bit-identical).
+  /** DuckDB mirror of SimilarityOps' SRP bucket over planes
+    * [p0, p0 + n): sum over the planes of (sign bit << i), each sign taken
+    * on the 4dp-rounded double dot product with the same ±1 literal weights
+    * the Spark side builds from srpWeight (list_dot_product over DOUBLE
+    * lists folds left-to-right like graft_dot, so the doubles are
+    * bit-identical).
     */
-  private def duckSrpBucket: String =
-    (0 until SimilarityOps.NPlanes).map { p =>
+  private def duckSrpBucket(p0: Int, n: Int): String =
+    (0 until n).map { i =>
       val w = (0 until SimilarityOps.Dim)
-        .map(d => if (SimilarityOps.srpWeight(p, d) > 0) "1.0" else "-1.0").mkString(",")
+        .map(d => if (SimilarityOps.srpWeight(p0 + i, d) > 0) "1.0" else "-1.0").mkString(",")
       s"""(CASE WHEN round(list_dot_product(
          |      list_transform(embedding, x -> CAST(x AS DOUBLE)), [$w]), 4) >= 0
-         |  THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+         |  THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString("(", "\n + ", ")")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -142,8 +143,12 @@ object SparkEntry {
     "sim1_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim2_ann_ivf" -> (SimilarityOps.annIvf _),
     // SRP-LSH bucketed cosine near-dup: dd5's sub-quadratic regime, with a
-    // portable-hash bucket the DuckDB oracle recomputes (full value check)
+    // bucket the DuckDB oracle recomputes from the same plane literals
+    // (full value check of the LSH path)
     "sim3_srp_lsh" -> ((s: SparkSession, d: String) => SimilarityOps.srpNearDup(s, d)),
+    // OR-amplified banded SRP (4 tables x 6 planes): the recall-bearing LSH
+    // shape — explode to (table, bucket) keys, one equi-join, exact verify
+    "sim4_srp_banded" -> ((s: SparkSession, d: String) => SimilarityOps.srpNearDupBanded(s, d)),
     // multimodal plumbing
     "mm1_media_meta" -> (MultimodalOps.mediaMeta _),
   )
@@ -430,12 +435,28 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM g JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sim3_srp_lsh" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $duckSrpBucket AS bucket FROM embeddings)
+      s"""WITH b AS (SELECT vec_id, embedding, ${duckSrpBucket(0, SimilarityOps.NPlanes)} AS bucket FROM embeddings)
         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.embedding, b2.embedding), 4) AS cos
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
         |WHERE round(list_cosine_similarity(a.embedding, b2.embedding), 4) >= 0.35
         |ORDER BY 1, 2""".stripMargin,
+    // banded SRP: candidate = same bucket in ANY of the 4 tables (OR), then
+    // the same exact-cosine verification — an independent DuckDB computation
+    // of the amplified pair set
+    "sim4_srp_banded" -> {
+      val bucketCols = (0 until SimilarityOps.SrpBandTables)
+        .map(t => s"${duckSrpBucket(t * SimilarityOps.SrpBandPlanes, SimilarityOps.SrpBandPlanes)} AS bk$t")
+        .mkString(",\n  ")
+      val anySame = (0 until SimilarityOps.SrpBandTables)
+        .map(t => s"a.bk$t = b2.bk$t").mkString(" OR ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketCols FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.embedding, b2.embedding), 4) AS cos
+        |FROM b a JOIN b b2 ON a.vec_id < b2.vec_id AND ($anySame)
+        |WHERE round(list_cosine_similarity(a.embedding, b2.embedding), 4) >= 0.35
+        |ORDER BY 1, 2""".stripMargin
+    },
     "qf1_quality_filter" ->
       """WITH d AS (
         |  SELECT doc_id,

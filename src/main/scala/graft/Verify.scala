@@ -10,8 +10,11 @@ object Verify {
     val spark = Sessions.local(cpus.toInt, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // written with the query's natural partitioning (the driver's compare
+    // globs the directory) — no coalesce(1): single-task writes don't scale
+    // and this was the last one in the repo (round-3 verdict item 8)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

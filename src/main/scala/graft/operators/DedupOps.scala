@@ -257,15 +257,28 @@ object DedupOps {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("u"), col("lbl").as("ulbl")), "u")
         .groupBy(col("v").as("doc_id")).agg(min(col("ulbl")).as("nlbl"))
+      // the pre-round label rides along as `old` so convergence needs no
+      // second pass over the iterate
       val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("doc_id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // convergence detection is FUSED into the localCheckpoint
+      // materialization: a side-effecting flag UDF feeds a LongAccumulator
+      // while the iterate's rows are computed, replacing the former
+      // equality-join + count() (a second job with a shuffle) per round.
+      // Accumulator updates in transformations can only OVER-count (task
+      // retry), and after a successful materialization every row was
+      // evaluated at least once, so `acc == 0  <=>  no label changed` — exact
+      // for the >0 predicate this loop needs.
+      val acc = nodes.sparkSession.sparkContext.longAccumulator(s"graft_cc_changed_$iter")
+      val flag = udf { (c: Boolean) => if (c) acc.add(1L); c }
+      val newLbl = least(col("lbl"), coalesce(col("lbl2"), col("lbl")))
       val jumped = stepped
         .join(stepped.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("doc_id"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .select(col("doc_id"), newLbl.as("lbl"), flag(newLbl =!= col("old")).as("chg"))
         .localCheckpoint()
-      changed = jumped.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .where(col("lbl") =!= col("old")).count()
-      labels = jumped
+      changed = acc.value
+      labels = jumped.select(col("doc_id"), col("lbl"))
       iter += 1
     }
     require(changed == 0, s"label propagation did not converge in $MaxCcIters rounds")

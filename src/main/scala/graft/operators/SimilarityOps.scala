@@ -509,55 +509,167 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  /** Hyperplane count for the SRP-LSH bucketed near-dup variant. */
-  final val NPlanes = 16
+  /** Default hyperplane count for the single-table SRP-LSH near-dup variant —
+    * the FROZEN test/oracle instance: the DuckDB mirror (SparkEntry
+    * duckSrpBucket) generates exactly this many plane literals, so the
+    * driver-checked query pins this value. 8 planes = 256 buckets is chosen
+    * so the sf corpora (500-2000 spread vectors, max pairwise cos ~0.5)
+    * still produce a NONEMPTY verified pair set for the driver to
+    * value-check — at 16 correct planes this corpus's output is empty and
+    * the check would be vacuous. Production calls pass
+    * `nPlanesFor(corpus size)` instead (see below).
+    */
+  final val NPlanes = 8
 
-  /** ±1 weight of SRP hyperplane `p` at dimension `d`, from the engine's
-    * portable integer hash family (parity of an affine map mod HashM1) — the
-    * identical arithmetic is generated into the DuckDB oracle SQL, so the
-    * bucket assignment (and therefore the pair set) is driver-value-checked.
+  /** Frozen OR-amplification shape for the banded SRP variant (sim4):
+    * `SrpBandTables` independent tables of `SrpBandPlanes` planes each.
+    * Recall at similarity s (collision prob per plane s = 1 - theta/pi) is
+    * 1-(1-s^r)^b: at cos 0.99 (a true near-dup) this 4x6 instance retains
+    * ~0.997 of pairs, while a borderline cos-0.35 pair collides only ~20% of
+    * the time — the standard LSH trade, gated by the planted-duplicate
+    * recall test in OperatorsSpec.
+    */
+  final val SrpBandTables = 4
+  final val SrpBandPlanes = 6
+
+  /** Safety margin over log2(N) in the plane-count scaling rule. */
+  final val SrpPlaneMargin = 10
+
+  /** Plane count for a corpus of `n` vectors: `ceil(log2 n) + SrpPlaneMargin`,
+    * capped at 62 (the bucket is packed into one signed Long).
+    *
+    * Why this is the right shape (mirrors NCells' sqrt(N) rule): with p
+    * planes there are 2^p buckets, so expected same-bucket candidate pairs
+    * over a spread corpus are ~ n^2 / 2^(p+1); at p = log2(n) + m that is
+    * n / 2^(m+1) — LINEAR in n with constant 2^-(m+1) (~n/2048 background
+    * candidates at m=10), instead of the ~10^13 pairs a frozen p=16 yields
+    * at n=10^9 (65k buckets x ~15k docs each). The price is per-pair recall
+    * (1 - theta/pi)^p shrinking with p; at scale that is recovered the
+    * standard LSH way — OR over several independent plane tables (as dd3
+    * does with its 32x2 bands), which multiplies cost by the table count but
+    * keeps it linear. The occupancy property is pinned by a ScalaTest gate
+    * (SimilaritySpec "srp plane-count rule").
+    */
+  def nPlanesFor(n: Long): Int =
+    math.min(62, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + SrpPlaneMargin)
+
+  /** ±1 weight of SRP hyperplane `p` at dimension `d`, from the SplitMix64
+    * finalizer over the packed key (p << 32 | d). The weights reach the
+    * DuckDB oracle SQL as ±1 LITERALS generated from this function
+    * (SparkEntry duckSrpBucket), so any deterministic JVM mixer keeps the
+    * bucket assignment driver-value-checked — no SQL-expressible arithmetic
+    * needed.
+    *
+    * Round-4 fix: the previous family — parity of the affine map
+    * (p*Dim+d)*HashB1 + 17 mod HashM1 — is DEGENERATE for even Dim: below
+    * the modulus, parity((p*Dim+d)*257+17) = parity(p*Dim+d) xor 1, and with
+    * Dim = 64 even that depends on `d` alone. Every "plane" was therefore
+    * the SAME hyperplane, the bucket space collapsed to 2 values regardless
+    * of plane count, and the bucket join was a hidden half-all-pairs
+    * quadratic join (measured: 62k same-bucket pairs over the 500-vector sf
+    * corpus vs ~4 with decorrelated planes). Parity of a multiplicative
+    * finalizer has no such linear structure.
     */
   private[graft] def srpWeight(p: Int, d: Int): Double = {
-    val h = ((p.toLong * Dim + d) * graft.operators.DedupOps.HashB1 + 17L) % graft.operators.DedupOps.HashM1
-    if (h % 2 == 1) 1.0 else -1.0
+    var z = ((p.toLong << 32) | d.toLong) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    if ((z & 1L) == 1L) 1.0 else -1.0
   }
 
   /** Signed-random-projection LSH near-duplicate pairs (Charikar, STOC'02):
-    * each vector's bucket is the 16-bit sign pattern of 16 fixed ±1
+    * each vector's bucket is the `nPlanes`-bit sign pattern of fixed ±1
     * hyperplane projections; only same-bucket pairs are scored exactly.
     *
     * This is dd5's sub-quadratic regime: the collision probability of a pair
-    * at angle theta is (1 - theta/pi)^16, so the equi-join on `bucket`
+    * at angle theta is (1 - theta/pi)^nPlanes, so the equi-join on `bucket`
     * replaces the all-pairs O(n^2/NBlocks) block join with an expected
-    * O(sum of bucket-size^2) — at 10^9 docs the 65k buckets hold ~15k docs
-    * each under a uniform corpus, and (as with dd4) skewed buckets split
-    * under AQE. Exact cosine verification runs on candidates only, so output
-    * pairs are exactly dd5's pair set restricted to same-bucket collisions
-    * (recall on THIS corpus is pinned by the subset+recall ScalaTest gate).
+    * O(sum of bucket-size^2). The plane count must GROW with the corpus —
+    * pass `nPlanesFor(n)` (log2(n) + margin; see its scaladoc for the
+    * occupancy math) for production corpora; the `NPlanes`=16 default is the
+    * frozen oracle instance the driver value-checks, and (as with dd4)
+    * skewed buckets split under AQE. Exact cosine verification runs on
+    * candidates only, so output pairs are exactly dd5's pair set restricted
+    * to same-bucket collisions (recall on THIS corpus is pinned by the
+    * subset+recall ScalaTest gate).
     *
     * Projections are folded left-to-right in double precision by the native
     * `graft_dot` loop; DuckDB's `list_dot_product` over DOUBLE lists uses the
     * same fold order (verified bit-identical), and signs are taken on the
     * 4dp-rounded projection in both engines.
     */
-  def srpNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    // materialize the double-cast ONCE per row in its own select: inlined
-    // into the 16 plane dots it would re-run per plane (transform is a
-    // CodegenFallback HOF — 16 interpreted array casts per row per join
-    // side, measured 3.7s; CollapseProject keeps the split because a
-    // non-cheap expr with 16 references must not be duplicated)
-    val bucket = (0 until NPlanes).map { p =>
-      val w = lit((0 until Dim).map(d => srpWeight(p, d)).toArray)
-      when(round(dot(col("vd"), w), 4) >= 0, lit(1L << p)).otherwise(lit(0L))
+  /** Bucket expression for planes [planeOffset, planeOffset + nPlanes) over a
+    * materialized double-vector column `vd`: the packed sign pattern of the
+    * plane projections, each sign taken on the 4dp-rounded dot (same rule as
+    * the DuckDB mirror).
+    */
+  private def srpBucket(planeOffset: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { i =>
+      val w = lit((0 until Dim).map(d => srpWeight(planeOffset + i, d)).toArray)
+      when(round(dot(col("vd"), w), 4) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val b = emb(spark, dir)
+
+  def srpNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35,
+                 nPlanes: Int = NPlanes): DataFrame =
+    srpNearDupFrom(emb(spark, dir), threshold, nPlanes)
+
+  private[graft] def srpNearDupFrom(e: DataFrame, threshold: Double, nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes $nPlanes outside [1, 62]")
+    // materialize the double-cast ONCE per row in its own select: inlined
+    // into the plane dots it would re-run per plane (transform is a
+    // CodegenFallback HOF — nPlanes interpreted array casts per row per join
+    // side, measured 3.7s; CollapseProject keeps the split because a
+    // non-cheap expr with many references must not be duplicated)
+    val b = e
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"), x => x.cast("double")).as("vd"))
-      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+      .select(col("vec_id"), col("embedding"), srpBucket(0, nPlanes).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** OR-amplified (banded) SRP near-dup: `nTables` independent plane tables
+    * (table t uses planes [t*nPlanes, (t+1)*nPlanes)); a pair is a candidate
+    * if it shares a bucket in ANY table, and candidates are verified with the
+    * exact cosine. This is the standard LSH recall amplification (same shape
+    * as dd3's 32x2 MinHash banding): per-pair recall 1-(1-s^r)^b, so true
+    * near-dups (cos >= 0.99 → ~0.997 at the frozen 4x6 instance) survive
+    * while the candidate volume stays sum-of-bucket-sizes^2 per table.
+    *
+    * Plan shape (scale path): ONE pass computes all table buckets, rows
+    * explode to (table, bucket) keys — one equi-join shuffle keyed on both —
+    * then pair dedup and a candidates-only exact verify via two co-keyed
+    * joins back to the embeddings. Never all-pairs; per-table occupancy is
+    * governed by the same `nPlanesFor` rule as the single-table variant.
+    */
+  def srpNearDupBanded(spark: SparkSession, dir: String, threshold: Double = 0.35,
+                       nTables: Int = SrpBandTables, nPlanes: Int = SrpBandPlanes): DataFrame =
+    srpNearDupBandedFrom(emb(spark, dir), threshold, nTables, nPlanes)
+
+  private[graft] def srpNearDupBandedFrom(e: DataFrame, threshold: Double,
+                                          nTables: Int, nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes $nPlanes outside [1, 62]")
+    val keyed = e
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vd"))
+      .select(col("vec_id"),
+        array((0 until nTables).map(t => srpBucket(t * nPlanes, nPlanes)): _*).as("bks"))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

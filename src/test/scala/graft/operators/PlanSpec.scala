@@ -69,8 +69,13 @@ class PlanSpec extends SparkSpec {
     // both windows and the partial+final agg must share the user_id
     // partitioning; a second hashpartitioning exchange means the plan
     // re-shuffled between window and aggregate
+    // count Exchange NODES with hashpartitioning, not raw substring hits:
+    // AQE / exchange reuse can print the same partitioning on extra lines
+    // (AQEShuffleRead, ReusedExchange) without adding a shuffle
     val p = plan(RelationalOps.eventFunnel(spark, sf))
-    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange") && l.contains("hashpartitioning")
+        && !l.contains("ReusedExchange"))
     assert(hashEx == 1, s"ev4 has $hashEx hash exchanges (want 1):\n${p.take(2000)}")
   }
 

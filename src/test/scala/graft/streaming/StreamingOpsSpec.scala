@@ -40,6 +40,44 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup TTL: an expired hash re-admits a doc after the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.StreamDoc]
+    // event-time TTL of 10 minutes, zero-delay watermark: a hash whose last
+    // sighting is > 10 event-minutes behind the watermark is evicted and the
+    // next arrival of the same hash is admitted again (bounded-state
+    // semantics of a finite dedup horizon)
+    val q = StreamingOps.dedupFirstSeen(
+        in.toDS().withWatermark("ts", "0 seconds"),
+        retention = Some(java.time.Duration.ofMinutes(10)))
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // timeline starts above the initial watermark (epoch 0): a row AT the
+      // watermark is dropped as late before reaching the state function
+      in.addData(StreamingOps.StreamDoc("doc-a", "h1", ts(60)))
+      q.processAllAvailable()
+      // still inside the horizon (watermark 60 < 60+10): suppressed, and the
+      // TTL re-anchors at the LAST sighting (ts 65)
+      in.addData(StreamingOps.StreamDoc("doc-b", "h1", ts(65)))
+      q.processAllAvailable()
+      // push the watermark past 65+10: h1's state expires
+      in.addData(StreamingOps.StreamDoc("doc-c", "h2", ts(90)))
+      q.processAllAvailable()
+      in.addData(StreamingOps.StreamDoc("doc-d", "h3", ts(91)))
+      q.processAllAvailable()
+      // beyond the horizon: the SAME hash is admitted again
+      in.addData(StreamingOps.StreamDoc("doc-e", "h1", ts(92)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_ttl_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out == Set(("doc-a", "h1"), ("doc-c", "h2"), ("doc-d", "h3"), ("doc-e", "h1")),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming funnel: state machine advances across micro-batches, strict order within") {
     val s = spark
     import s.implicits._
