@@ -38,12 +38,14 @@ object Bench {
     "x1_extract_spans", "x2_extract_metrics", "x3_extract_rotated", "x4_extract_full",
     "q1_pricing_agg", "q2_market_revenue", "q3_nation_top_customers",
     "q4_shipdate_filter", "q5_priority_heavy_orders", "q6_brand_stats", "q7_shipping_priority",
-    "ev1_hourly_events", "ev2_user_sessions", "ev4_funnel", "ev5_retention",
-    "txt1_token_count", "txt2_quality_score", "txt3_langid", "txt5_repetition",
-    "qf1_quality_filter",
+    "ev1_hourly_events", "ev2_user_sessions", "ev3_props_agg", "ev4_funnel", "ev5_retention",
+    "src1_gt_summary",
+    "txt1_token_count", "txt2_quality_score", "txt3_langid", "txt4_fingerprints",
+    "txt5_repetition", "qf1_quality_filter",
     "dd1_dedup_exact", "dd2_ngram_jaccard", "dd3_dedup_minhash09",
     "dd4_dedup_simhash", "dd5_dedup_embedding", "dd6_dup_ngrams", "dd7_dup_clusters",
-    "sim1_cosine_topk", "sim2_ann_ivf", "sim3_srp_lsh", "mm1_media_meta")
+    "sim1_cosine_topk", "sim2_ann_ivf", "sim3_srp_lsh", "sim4_srp_banded",
+    "mm1_media_meta", "mm2_image_meta")
 
   /** Fixed single-thread spin (800M xorshift steps), timed: a load-independent
     * unit of work whose wall time exposes the host's CURRENT deliverable CPU.

@@ -149,8 +149,11 @@ object SparkEntry {
     // OR-amplified banded SRP (4 tables x 6 planes): the recall-bearing LSH
     // shape — explode to (table, bucket) keys, one equi-join, exact verify
     "sim4_srp_banded" -> ((s: SparkSession, d: String) => SimilarityOps.srpNearDupBanded(s, d)),
-    // multimodal plumbing
+    // multimodal plumbing (engine tensor payloads)
     "mm1_media_meta" -> (MultimodalOps.mediaMeta _),
+    // real image decode: BMP/PGM/PPM bytes -> pixels -> luma -> STD kernel,
+    // pure-JVM parser, value-checked against a sequential oracle
+    "mm2_image_meta" -> (MultimodalOps.imageMeta _),
   )
 
   /** Driver contract: the static map is the sf0.01 instance (the scale the
@@ -186,6 +189,10 @@ object SparkEntry {
     "mm1_media_meta" ->
       s"""SELECT media_ref, stage, width, height, n_bytes, n_regions
         |FROM read_parquet('${MultimodalOps.oracleTable(sfDir, nDocsTable)}/*.parquet')
+        |ORDER BY media_ref""".stripMargin,
+    "mm2_image_meta" ->
+      s"""SELECT media_ref, format, width, height, channels, n_bytes, pix_hash, n_regions
+        |FROM read_parquet('${MultimodalOps.imageOracleTable(sfDir, nDocsTable)}/*.parquet')
         |ORDER BY media_ref""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.kernel.{Payload, SplitMix64}
+import graft.kernel.{Image, Payload, SplitMix64}
 import graft.schema.{Doc, Media, RawSpan, Vocab}
 
 /** Deterministic synthetic document generator (FIXTURES.md §4): a pure function
@@ -69,6 +69,14 @@ object GenData {
     * sort + dedup.
     */
   private def stdPayload(rng: SplitMix64): Array[Byte] = {
+    val (w, h, cells) = stdCells(rng)
+    Payload.encodeProbMap(w, h, cells)
+  }
+
+  /** The raw blob scene behind stdPayload, reusable as IMAGE pixel content
+    * (mm2): probability cells double as 8-bit luma samples.
+    */
+  private def stdCells(rng: SplitMix64): (Int, Int, Array[Byte]) = {
     val w = 64 + 32 * rng.nextInt(7) // 64..256, /32
     val h = 64 + 32 * rng.nextInt(7)
     val cells = new Array[Byte](w * h)
@@ -95,7 +103,30 @@ object GenData {
       }
       b += 1
     }
-    Payload.encodeProbMap(w, h, cells)
+    (w, h, cells)
+  }
+
+  /** REAL image-format payload for one media_ref (mm2): the stdCells blob
+    * scene serialized as an actual uncompressed raster file — 24-bit BMP
+    * (gray replicated to RGB), binary PGM, or binary PPM, chosen per ref —
+    * that graft.kernel.Image genuinely parses byte-by-byte (headers, row
+    * padding, bottom-up order). Keyed independently of the doc PRNG like
+    * payload(), so any row reproduces in isolation.
+    */
+  def imagePayload(seed: Long, mediaRef: String): Array[Byte] = {
+    val rng = SplitMix64.forKey(seed, "image:" + mediaRef)
+    val (w, h, cells) = stdCells(rng)
+    rng.nextInt(3) match {
+      case 0 => Image.encodePgm(w, h, cells)
+      case kind =>
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < cells.length) {
+          rgb(i * 3) = cells(i); rgb(i * 3 + 1) = cells(i); rgb(i * 3 + 2) = cells(i)
+          i += 1
+        }
+        if (kind == 1) Image.encodeBmp24(w, h, rgb) else Image.encodePpm(w, h, rgb)
+    }
   }
 
   /** MFD / layout candidates; ~half of the boxes beyond the first are jittered

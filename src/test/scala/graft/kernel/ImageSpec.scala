@@ -1,0 +1,80 @@
+package graft.kernel
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.GenData
+
+/** Pure-JVM raster codec gates: golden hand-authored bytes (the parser must
+  * read REAL file layouts, not just its own encoder's output), exact
+  * round-trips including BMP row padding, the GRAY→RGB→luma identity, and
+  * decode→detect parity with the tensor-payload path.
+  */
+class ImageSpec extends AnyFunSuite {
+
+  test("golden BMP: hand-authored 2x2 24-bit file decodes to top-down RGB") {
+    // 2x2, rowStride = 8 (2 pad bytes/row), bottom-up: file row 0 is IMAGE
+    // row 1. Image rows (top-down RGB): [(255,0,0) (0,255,0)] / [(0,0,255) (255,255,255)]
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val header =
+      Array[Byte]('B', 'M') ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    // pixel array in file order: BGR + padding; bottom row first
+    val data = Array[Byte](
+      // image row 1: blue=(0,0,255)->BGR(255,0,0), white->(255,255,255), pad
+      -1, 0, 0, -1, -1, -1, 0, 0,
+      // image row 0: red=(255,0,0)->BGR(0,0,255), green->(0,255,0), pad
+      0, 0, -1, 0, -1, 0, 0, 0)
+    val px = Image.decode(header ++ data)
+    assert((px.format, px.width, px.height, px.channels) == ("bmp", 2, 2, 3))
+    val got = px.data.map(_ & 0xff).toSeq
+    assert(got == Seq(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255), s"got $got")
+  }
+
+  test("golden PGM: comments and flexible whitespace in the header parse") {
+    val bytes = "P5 # a comment\n# another\n 3\t2 \n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val px = Image.decode(bytes)
+    assert((px.format, px.width, px.height, px.channels) == ("pgm", 3, 2, 1))
+    assert(px.data.map(_ & 0xff).toSeq == Seq(10, 20, 30, 40, 50, 60))
+  }
+
+  test("round-trips are exact for all three formats, including BMP pad widths") {
+    val rng = new scala.util.Random(7L)
+    for (w <- Seq(1, 2, 3, 4, 5, 31); h <- Seq(1, 2, 7)) {
+      val gray = Array.fill(w * h)(rng.nextInt(256).toByte)
+      val g2 = Image.decode(Image.encodePgm(w, h, gray))
+      assert(g2.data.sameElements(gray) && g2.width == w && g2.height == h, s"pgm $w x $h")
+      val rgb = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+      val p2 = Image.decode(Image.encodePpm(w, h, rgb))
+      assert(p2.data.sameElements(rgb), s"ppm $w x $h")
+      val b2 = Image.decode(Image.encodeBmp24(w, h, rgb))
+      assert(b2.data.sameElements(rgb), s"bmp $w x $h (stride padding)")
+    }
+  }
+
+  test("GRAY -> RGB expansion then luma is the identity on the gray plane") {
+    val gray = (0 until 256).map(_.toByte).toArray
+    val rgb = Image.grayToRgb(Image.Pixmap("pgm", 16, 16, 1, gray))
+    assert(rgb.channels == 3)
+    assert(Image.gray(rgb).sameElements(gray),
+      "replicated channels must survive the integer BT.601 luma exactly")
+  }
+
+  test("decoded image pixels drive the STD kernel identically to the tensor payload path") {
+    // for generated refs: decode the real image file, take the luma, and
+    // check the detection kernel sees EXACTLY what it would see had the same
+    // cells arrived as an engine prob-map payload
+    var formats = Set.empty[String]
+    (0 until 40).foreach { i =>
+      val ref = s"img-doc-$i"
+      val px = Image.decode(GenData.imagePayload(GenData.DefaultSeed, ref))
+      formats += px.format
+      val luma = Image.gray(if (px.channels == 1) Image.grayToRgb(px) else px)
+      val viaImage = Order.finalize(Detect.std(luma, 0, px.width, px.height))
+      val viaPayload = Detect.extract(Payload.encodeProbMap(px.width, px.height, luma))
+      assert(viaImage == viaPayload, s"$ref: image path diverged from payload path")
+    }
+    assert(formats == Set("bmp", "pgm", "ppm"), s"all formats must be exercised, got $formats")
+  }
+}

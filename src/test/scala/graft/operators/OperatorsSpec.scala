@@ -165,6 +165,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("mm2: distributed real-image decode equals the sequential driver oracle, all formats hit") {
+    val out = MultimodalOps.imageMeta(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == nDocs)
+    val side = spark.read.parquet(MultimodalOps.imageOracleTable(sf, nDocs))
+      .orderBy("media_ref")
+      .select("media_ref", "format", "width", "height", "channels", "n_bytes", "pix_hash", "n_regions")
+      .collect()
+    val got = out.map(_.toSeq).toSeq
+    val want = side.map(_.toSeq).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    val formats = out.map(_.getAs[String]("format")).toSet
+    assert(formats == Set("bmp", "pgm", "ppm"), s"got $formats")
+    assert(out.exists(_.getAs[Int]("n_regions") > 0), "decoded scenes must yield regions")
+  }
+
   test("winnowing fingerprints: copies collide, shifted copies mostly overlap") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away today"
