@@ -151,9 +151,20 @@ object SparkEntry {
     "sim4_srp_banded" -> ((s: SparkSession, d: String) => SimilarityOps.srpNearDupBanded(s, d)),
     // multimodal plumbing (engine tensor payloads)
     "mm1_media_meta" -> (MultimodalOps.mediaMeta _),
-    // real image decode: BMP/PGM/PPM bytes -> pixels -> luma -> STD kernel,
-    // pure-JVM parser, value-checked against a sequential oracle
+    // real image decode: BMP/PGM/PPM/PNG bytes -> pixels -> luma -> STD
+    // kernel, pure-JVM parsers, value-checked against a sequential oracle
     "mm2_image_meta" -> (MultimodalOps.imageMeta _),
+    // decode + resize policy (type0 resize_long, /32) + detect + P7 box
+    // de-normalization back to source coords, digest value-checked
+    "mm3_image_detect" -> (MultimodalOps.imageDetect _),
+    // HTML boilerplate strip (north rule surface): wrap each doc's text in a
+    // deterministic full page, strip it back with the DOM-heuristic kernel;
+    // oracle is md5(text) straight off the source table — no side table
+    "hx1_html_extract" -> (HtmlOps.htmlExtract _),
+    // PDF parse (north rule surface): serialize each doc's text into a real
+    // multi-page PDF (Flate streams, Tj/TJ/hex show ops), re-extract it
+    // through the structure walk; same independent md5(text) oracle
+    "px1_pdf_extract" -> (PdfOps.pdfExtract _),
   )
 
   /** Driver contract: the static map is the sf0.01 instance (the scale the
@@ -193,6 +204,10 @@ object SparkEntry {
     "mm2_image_meta" ->
       s"""SELECT media_ref, format, width, height, channels, n_bytes, pix_hash, n_regions
         |FROM read_parquet('${MultimodalOps.imageOracleTable(sfDir, nDocsTable)}/*.parquet')
+        |ORDER BY media_ref""".stripMargin,
+    "mm3_image_detect" ->
+      s"""SELECT media_ref, width, height, rw, rh, n_regions, box_digest, sum_area
+        |FROM read_parquet('${MultimodalOps.imageDetectOracleTable(sfDir, nDocsTable)}/*.parquet')
         |ORDER BY media_ref""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -252,6 +267,12 @@ object SparkEntry {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hx1_html_extract" ->
+      """SELECT doc_id, length(text) AS content_len, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "px1_pdf_extract" ->
+      """SELECT doc_id, length(text) AS content_len, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "txt1_token_count" ->
       """SELECT doc_id,
         | CASE WHEN trim(text) = '' THEN 0

@@ -26,14 +26,17 @@ object Image {
       s"pixel buffer ${data.length} != $width x $height x $channels")
   }
 
-  /** Sniff the magic and parse. BMP = 'B''M'; netpbm = 'P''5' | 'P''6'. */
+  /** Sniff the magic and parse. BMP = 'B''M'; netpbm = 'P''5' | 'P''6';
+    * PNG = 0x89 'P' 'N' 'G'.
+    */
   def decode(bytes: Array[Byte]): Pixmap = {
     require(bytes.length >= 2, s"image payload too short: ${bytes.length}")
     (bytes(0), bytes(1)) match {
-      case ('B', 'M') => decodeBmp(bytes)
-      case ('P', '5') => decodePnm(bytes, channels = 1, "pgm")
-      case ('P', '6') => decodePnm(bytes, channels = 3, "ppm")
-      case (a, b)     => throw new IllegalArgumentException(f"unknown image magic 0x$a%02x 0x$b%02x")
+      case ('B', 'M')        => decodeBmp(bytes)
+      case ('P', '5')        => decodePnm(bytes, channels = 1, "pgm")
+      case ('P', '6')        => decodePnm(bytes, channels = 3, "ppm")
+      case (-119, 'P')       => decodePng(bytes) // 0x89 as signed byte
+      case (a, b)            => throw new IllegalArgumentException(f"unknown image magic 0x$a%02x 0x$b%02x")
     }
   }
 
@@ -114,6 +117,187 @@ object Image {
     val out = new Array[Byte](n)
     System.arraycopy(bytes, pos, out, 0, n)
     Pixmap(format, w, h, channels, out)
+  }
+
+  private val PngSignature =
+    Array[Byte](-119, 'P', 'N', 'G', '\r', '\n', 26, '\n')
+
+  /** PNG (RFC 2083): the one COMPRESSED format a codec-less JVM can still
+    * genuinely decode — the zlib stream (`java.util.zip.Inflater`), per-chunk
+    * CRC-32, and all five scanline filters (None/Sub/Up/Average/Paeth) are
+    * pure JDK + pure code. Supported: 8-bit depth, color types 0 (gray),
+    * 2 (RGB), 3 (palette → RGB), 4 (gray+alpha → gray) and 6 (RGBA → RGB,
+    * alpha dropped — the reference decodes to BGR the same way,
+    * cv2.imdecode default flag), non-interlaced. Ancillary chunks are
+    * skipped; critical-chunk CRCs are verified.
+    */
+  private def decodePng(bytes: Array[Byte]): Pixmap = {
+    require(bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == PngSignature(i)),
+      "not a PNG: bad signature")
+    def be32(p: Int): Int =
+      ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+    var pos = 8
+    var w = 0; var h = 0; var colorType = -1
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(pos + 12 <= bytes.length, s"PNG truncated at chunk header (pos $pos)")
+      val len = be32(pos)
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 12 + len <= bytes.length, s"PNG chunk $typ overruns buffer")
+      // CRC covers type + data (RFC 2083 §3.4); check critical chunks only
+      if (typ.head.isUpper) {
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, pos + 4, 4 + len)
+        require(crc.getValue.toInt == be32(pos + 8 + len), s"PNG chunk $typ CRC mismatch")
+      }
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len != 13")
+          w = be32(pos + 8); h = be32(pos + 12)
+          val bitDepth = bytes(pos + 16)
+          colorType = bytes(pos + 17)
+          require(bitDepth == 8, s"only 8-bit PNG supported, got depth $bitDepth")
+          require(Set(0, 2, 3, 4, 6)(colorType), s"unsupported PNG color type $colorType")
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0, "non-deflate/non-adaptive PNG")
+          require(bytes(pos + 20) == 0, "interlaced PNG unsupported")
+          require(w > 0 && h > 0, s"bad PNG dims $w x $h")
+        case "PLTE" =>
+          require(len % 3 == 0, s"PLTE length $len not a multiple of 3")
+          palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => done = true
+        case _      => () // ancillary (tEXt, pHYs, ...) — skip
+      }
+      pos += 12 + len
+    }
+    require(colorType >= 0, "PNG missing IHDR")
+    val srcCh = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    // inflate the full filtered image: h scanlines of 1 filter byte + w*srcCh
+    val stride = w * srcCh
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      require(n > 0 || inf.finished(), "PNG zlib stream stalled (truncated IDAT?)")
+      got += n
+    }
+    inf.end()
+    require(got == raw.length, s"PNG pixel data short: $got of ${raw.length}")
+    // unfilter in place into `img` (RFC 2083 §6): per-byte predictors over
+    // the prior byte (a), prior row (b), and prior row's prior byte (c)
+    val img = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (1 + stride)) & 0xff
+      val rowIn = y * (1 + stride) + 1
+      val out = y * stride
+      val prev = (y - 1) * stride
+      var i = 0
+      while (i < stride) {
+        val x = raw(rowIn + i) & 0xff
+        val a = if (i >= srcCh) img(out + i - srcCh) & 0xff else 0
+        val b = if (y > 0) img(prev + i) & 0xff else 0
+        val c = if (y > 0 && i >= srcCh) img(prev + i - srcCh) & 0xff else 0
+        val recon = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case f => throw new IllegalArgumentException(s"PNG filter type $f")
+        }
+        img(out + i) = recon.toByte
+        i += 1
+      }
+      y += 1
+    }
+    // project to the Pixmap channel model: gray stays 1ch, color becomes RGB
+    colorType match {
+      case 0 => Pixmap("png", w, h, 1, img)
+      case 2 => Pixmap("png", w, h, 3, img)
+      case 3 =>
+        require(palette != null, "paletted PNG missing PLTE")
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val idx = (img(i) & 0xff) * 3
+          require(idx + 2 < palette.length, s"palette index ${img(i) & 0xff} out of range")
+          out(i * 3) = palette(idx); out(i * 3 + 1) = palette(idx + 1)
+          out(i * 3 + 2) = palette(idx + 2)
+          i += 1
+        }
+        Pixmap("png", w, h, 3, out)
+      case 4 =>
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) { out(i) = img(i * 2); i += 1 }
+        Pixmap("png", w, h, 1, out)
+      case 6 =>
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          out(i * 3) = img(i * 4); out(i * 3 + 1) = img(i * 4 + 1)
+          out(i * 3 + 2) = img(i * 4 + 2)
+          i += 1
+        }
+        Pixmap("png", w, h, 3, out)
+    }
+  }
+
+  /** Encode gray (1ch) or RGB (3ch) as a non-interlaced 8-bit PNG, filter
+    * type 0 on every scanline, one zlib stream. Deterministic for a fixed
+    * JDK (`Deflater` level 6); consumers hash decoded PIXELS, not files, so
+    * encoder byte-stability across JDKs is not load-bearing.
+    */
+  def encodePng(w: Int, h: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"encodePng channels $channels")
+    require(data.length == w * h * channels, s"data ${data.length} != $w x $h x $channels")
+    val stride = w * channels
+    val filtered = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      // filtered(y*(1+stride)) = 0 (filter None) — already zero
+      System.arraycopy(data, y * stride, filtered, y * (1 + stride) + 1, stride)
+      y += 1
+    }
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(filtered); def_.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](16384)
+    while (!def_.finished()) zbuf.write(tmp, 0, def_.deflate(tmp))
+    def_.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSignature, 0, 8)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      val len = body.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(body, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      val c = crc.getValue.toInt
+      out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte)
+      .put((if (channels == 1) 0 else 2).toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** GRAY → 3-channel expansion (the reference's GRAY2BGR branch): each

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{concat, lit}
-import graft.kernel.{Detect, Image, Order, Payload}
+import graft.kernel.{Detect, Image, Order, Payload, Resize}
 import graft.pipeline.GenData
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
@@ -14,12 +14,12 @@ import graft.pipeline.GenData
   *    the serialized neural-stage output this engine's whole extraction
   *    pipeline runs on);
   *  - mm2 decodes actual IMAGE FILE FORMATS byte-by-byte (24-bit BMP,
-  *    binary PGM/PPM — graft.kernel.Image, pure JVM, no codec libs needed),
-  *    mirroring the reference's decode surface (`cv2.imdecode` +
-  *    GRAY→3-channel + channel flip, /root/reference/cnstd/ppocr/
-  *    img_operators.py:27-59), then runs the STD detection kernel over the
-  *    decoded luma. Compressed formats (JPEG/PNG) stay format-pluggable
-  *    behind Image.decode's magic dispatch.
+  *    binary PGM/PPM, and zlib-compressed PNG — graft.kernel.Image, pure
+  *    JVM, no codec libs needed), mirroring the reference's decode surface
+  *    (`cv2.imdecode` + GRAY→3-channel + channel flip,
+  *    /root/reference/cnstd/ppocr/img_operators.py:27-59), then runs the
+  *    STD detection kernel over the decoded luma. JPEG stays
+  *    format-pluggable behind Image.decode's magic dispatch.
   */
 object MultimodalOps {
 
@@ -69,10 +69,49 @@ object MultimodalOps {
       r.payload.length, pixHash(luma), regions.length)
   }
 
+  final case class ImageDetectRow(media_ref: String, width: Int, height: Int,
+                                  rw: Int, rh: Int, n_regions: Int,
+                                  box_digest: Long, sum_area: Long)
+
+  /** mm3 kernel: the reference's full preprocessing surface on genuinely
+    * decoded pixels — decode (any supported format) → luma → detResizeType0
+    * resize_long to 160 with /32 calibration (P2/P4,
+    * /root/reference/cnstd/ppocr/img_operators.py:282-302 semantics via
+    * kernel/Resize) → bilinear resample (P1's cv2.INTER_LINEAR analog) →
+    * STD detection on the RESIZED map → P7 coordinate de-normalization of
+    * every detected box back to source pixel space (divide by the per-axis
+    * ratio, round, clip — /root/reference/cnstd/cn_std.py:316-323). The
+    * de-normalized boxes are folded into a portable polynomial digest so the
+    * oracle checks the COORDINATES, not just counts.
+    */
+  private def detectOnImage(r: MediaRow): ImageDetectRow = {
+    val px = Image.decode(r.payload)
+    val luma = Image.gray(if (px.channels == 1) Image.grayToRgb(px) else px)
+    val (rh, rw, ratioH, ratioW) = Resize.detResizeType0(px.height, px.width, 160, "resize_long")
+    val resized = Resize.bilinear(Resize.Img(luma, px.width, px.height), rw, rh)
+    val regions = Order.finalize(Detect.std(resized.cells, 0, rw, rh))
+    def clip(v: Double, hi: Int): Int = math.max(0, math.min(hi, math.rint(v).toInt))
+    var digest = 0L
+    var area = 0L
+    regions.foreach { g =>
+      val x0 = clip(g.x0 / ratioW, px.width - 1)
+      val y0 = clip(g.y0 / ratioH, px.height - 1)
+      val x1 = clip(g.x1 / ratioW, px.width - 1)
+      val y1 = clip(g.y1 / ratioH, px.height - 1)
+      Seq(x0, y0, x1, y1).foreach { c =>
+        digest = (digest * DedupOps.HashB1 + c + 1) % DedupOps.HashM1
+      }
+      area += (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong
+    }
+    ImageDetectRow(r.media_ref, px.width, px.height, rw, rh, regions.length, digest, area)
+  }
+
   /** Side parquet holding the sequential (driver-computed) metadata oracle. */
   def oracleTable(dir: String, n: Long): String = OracleSide.path("mm1_oracle_meta", dir, n)
 
   def imageOracleTable(dir: String, n: Long): String = OracleSide.path("mm2_oracle_img", dir, n)
+
+  def imageDetectOracleTable(dir: String, n: Long): String = OracleSide.path("mm3_oracle_det", dir, n)
 
   /** Attach a synthetic binary payload to every document row and extract
     * typed metadata + region counts inside batched mapPartitions.
@@ -121,6 +160,29 @@ object MultimodalOps {
     val media = refs.map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
     media
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(decodeImageMeta)))
+      .toDF()
+      .orderBy("media_ref")
+  }
+
+  /** mm3: real decode + resize policy + detection + coordinate
+    * de-normalization per image, distributed via the same batched
+    * mapPartitions plumbing and value-checked (dims, resized dims, region
+    * count, box-coordinate digest, total area) against a sequential
+    * driver-side oracle.
+    */
+  def imageDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val refs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(concat(lit("img-doc-"), $"doc_id").as("media_ref"))
+      .as[String]
+    val side = imageDetectOracleTable(dir, refs.count())
+    if (!OracleSide.exists(side)) {
+      val seq = refs.collect().sorted.toSeq
+        .map(ref => detectOnImage(MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref))))
+      spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
+    }
+    refs.map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
+      .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(detectOnImage)))
       .toDF()
       .orderBy("media_ref")
   }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.kernel.{Image, Payload, SplitMix64}
+import graft.kernel.{Html, Image, Payload, Pdf, SplitMix64}
 import graft.schema.{Doc, Media, RawSpan, Vocab}
 
 /** Deterministic synthetic document generator (FIXTURES.md §4): a pure function
@@ -107,26 +107,136 @@ object GenData {
   }
 
   /** REAL image-format payload for one media_ref (mm2): the stdCells blob
-    * scene serialized as an actual uncompressed raster file — 24-bit BMP
-    * (gray replicated to RGB), binary PGM, or binary PPM, chosen per ref —
-    * that graft.kernel.Image genuinely parses byte-by-byte (headers, row
-    * padding, bottom-up order). Keyed independently of the doc PRNG like
-    * payload(), so any row reproduces in isolation.
+    * scene serialized as an actual raster file — 24-bit BMP (gray replicated
+    * to RGB), binary PGM, binary PPM, or zlib-compressed PNG (gray or RGB),
+    * chosen per ref — that graft.kernel.Image genuinely parses byte-by-byte
+    * (headers, row padding, bottom-up order, inflate + unfilter + CRC for
+    * PNG). Keyed independently of the doc PRNG like payload(), so any row
+    * reproduces in isolation.
     */
   def imagePayload(seed: Long, mediaRef: String): Array[Byte] = {
     val rng = SplitMix64.forKey(seed, "image:" + mediaRef)
     val (w, h, cells) = stdCells(rng)
-    rng.nextInt(3) match {
-      case 0 => Image.encodePgm(w, h, cells)
-      case kind =>
-        val rgb = new Array[Byte](w * h * 3)
-        var i = 0
-        while (i < cells.length) {
-          rgb(i * 3) = cells(i); rgb(i * 3 + 1) = cells(i); rgb(i * 3 + 2) = cells(i)
-          i += 1
-        }
-        if (kind == 1) Image.encodeBmp24(w, h, rgb) else Image.encodePpm(w, h, rgb)
+    def rgb: Array[Byte] = {
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < cells.length) {
+        out(i * 3) = cells(i); out(i * 3 + 1) = cells(i); out(i * 3 + 2) = cells(i)
+        i += 1
+      }
+      out
     }
+    rng.nextInt(5) match {
+      case 0 => Image.encodePgm(w, h, cells)
+      case 1 => Image.encodeBmp24(w, h, rgb)
+      case 2 => Image.encodePpm(w, h, rgb)
+      case 3 => Image.encodePng(w, h, 1, cells)
+      case _ => Image.encodePng(w, h, 3, rgb)
+    }
+  }
+
+  /** Deterministic HTML page around a document's text (hx1): the text is cut
+    * into consecutive chunks (split points in CHARACTER space, so chunk
+    * concatenation is byte-exact), each chunk escaped into one `<p>` (some
+    * with a short inline `<a>` whose anchor text is part of the chunk), the
+    * whole article wrapped in realistic boilerplate the extractor must
+    * strip: doctype, head (title/style/script raw-text with markup-looking
+    * characters), nav + promo + related-links blocks (link density ~1),
+    * footer with entities, comments, attribute soup. Recovering
+    * `documents.text` exactly from this page is hx1's oracle.
+    */
+  def htmlPayload(seed: Long, docId: Long, text: String): String = {
+    val rng = SplitMix64.forKey(seed, "html:" + docId)
+    def word() = words(rng.nextInt(words.length))
+    def links(n: Int, sep: String): String =
+      (0 until n).map(_ => s"""<a href="/${word()}/${rng.nextInt(100)}">${word()}</a>""")
+        .mkString(sep)
+    // consecutive character-space cuts — concat(chunks) == text by
+    // construction (cuts are distinct, so every chunk is non-empty; the
+    // extractor keeps whitespace-only blocks, so even all-space chunks
+    // survive the round trip)
+    val nChunks = 1 + rng.nextInt(6)
+    val cuts = (Seq.fill(math.max(0, nChunks - 1))(
+      if (text.isEmpty) 0 else rng.nextInt(text.length)) :+ 0 :+ text.length)
+      .distinct.sorted
+    val chunks = cuts.zip(cuts.tail).map { case (a, b) => text.substring(a, b) }
+    val paras = chunks.map { c =>
+      // ~1/3 of long chunks carry a short inline link whose ANCHOR TEXT IS
+      // PART OF THE CHUNK (split pre|mid|post): kept blocks keep anchor
+      // text, so recovery stays exact while link-density math is exercised
+      if (c.length >= 30 && rng.nextInt(3) == 0) {
+        val midLen = 3 + rng.nextInt(5)
+        val at = rng.nextInt(c.length - midLen)
+        val (pre, rest) = c.splitAt(at)
+        val (mid, post) = rest.splitAt(midLen)
+        s"""<p class="${word()}">${Html.escape(pre)}<a href="#${word()}">${Html.escape(mid)}</a>${Html.escape(post)}</p>"""
+      } else s"<p>${Html.escape(c)}</p>"
+    }.mkString("\n")
+    // no glue newlines around an EMPTY paragraph list: they would make the
+    // container itself a (whitespace-only) leaf block and break "" recovery
+    val body = if (paras.isEmpty) "" else s"\n$paras\n"
+    val container = rng.nextInt(3) match {
+      case 0 => s"""<article id="main">$body</article>"""
+      case 1 => s"""<div class="post-body entry">$body</div>"""
+      case _ => s"""<section data-role="content">$body</section>"""
+    }
+    s"""<!DOCTYPE html>
+<html lang="en">
+<head>
+<title>${word()} ${word()} &mdash; ${word()}</title>
+<style>p { margin: 0; } a > span { color: #ff0000; } /* if (x<y) */</style>
+<script>var q = 1 < 2 && "a" > "&"; // <p>not a tag</p>
+document.write("<div>" + q + "</div>");</script>
+<meta charset="utf-8">
+</head>
+<body>
+<header><h1>${word()} ${word()}</h1><div class="tagline">${word()} &amp; ${word()}</div></header>
+<nav><ul>${(0 until 3 + rng.nextInt(5)).map(_ => s"<li>${links(1, "")}</li>").mkString}</ul></nav>
+<!-- ad slot ${rng.nextInt(1000)} -->
+<div class="promo">${links(2 + rng.nextInt(3), " &#8226; ")}</div>
+$container
+<div class="related"><ul>${(0 until 2 + rng.nextInt(4)).map(_ => s"<li>${links(1, "")}</li>").mkString}</ul></div>
+<footer><p>&copy; ${1990 + rng.nextInt(36)} ${word()} &mdash; <a href="/about">${word()}</a> &#183; <a href="/tos">${word()}</a></p></footer>
+</body>
+</html>"""
+  }
+
+  /** Deterministic PDF around a document's text (px1): consecutive
+    * character-space chunks (concat == text, as in htmlPayload) distributed
+    * over 1-2 pages; each chunk is shown by a literal-string `Tj`, a
+    * kerning-split `TJ` array, or a hex-string `Tj`, between real
+    * positioning operators; ~half the content streams are genuinely
+    * Flate-compressed. The file is a complete PDF (header, page tree, font,
+    * xref with correct offsets) that Pdf.extractText must walk — recovering
+    * `documents.text` exactly is px1's oracle.
+    */
+  def pdfPayload(seed: Long, docId: Long, text: String): Array[Byte] = {
+    val rng = SplitMix64.forKey(seed, "pdf:" + docId)
+    val nChunks = 1 + rng.nextInt(8)
+    val cuts = (Seq.fill(math.max(0, nChunks - 1))(
+      if (text.isEmpty) 0 else rng.nextInt(text.length)) :+ 0 :+ text.length)
+      .distinct.sorted
+    val chunks = cuts.zip(cuts.tail).map { case (a, b) => text.substring(a, b) }
+    val nPages = 1 + rng.nextInt(2)
+    val perPage = math.max(1, (chunks.size + nPages - 1) / nPages)
+    val streams = chunks.grouped(perPage).map { chs =>
+      val ops = chs.map { c =>
+        rng.nextInt(4) match {
+          case 0 if c.length >= 4 =>
+            // TJ with kerning numbers: sub-strings must concatenate exactly
+            val mid = 1 + rng.nextInt(c.length - 1)
+            val (a, b) = c.splitAt(mid)
+            s"[(${Pdf.escapeString(a)}) ${-20 - rng.nextInt(300)} (${Pdf.escapeString(b)})] TJ"
+          case 1 if c.forall(_ < 256) =>
+            "<" + c.map(ch => f"${ch.toInt}%02x").mkString + "> Tj"
+          case _ =>
+            s"(${Pdf.escapeString(c)}) Tj"
+        }
+      }
+      val body = "BT /F1 12 Tf 72 720 Td\n" + ops.mkString("\n0 -14 Td\n") + "\nET"
+      (body, rng.nextInt(2) == 0)
+    }.toSeq
+    Pdf.write(streams)
   }
 
   /** MFD / layout candidates; ~half of the boxes beyond the first are jittered

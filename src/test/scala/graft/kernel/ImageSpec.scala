@@ -39,7 +39,7 @@ class ImageSpec extends AnyFunSuite {
     assert(px.data.map(_ & 0xff).toSeq == Seq(10, 20, 30, 40, 50, 60))
   }
 
-  test("round-trips are exact for all three formats, including BMP pad widths") {
+  test("round-trips are exact for all four formats, including BMP pad widths") {
     val rng = new scala.util.Random(7L)
     for (w <- Seq(1, 2, 3, 4, 5, 31); h <- Seq(1, 2, 7)) {
       val gray = Array.fill(w * h)(rng.nextInt(256).toByte)
@@ -50,7 +50,48 @@ class ImageSpec extends AnyFunSuite {
       assert(p2.data.sameElements(rgb), s"ppm $w x $h")
       val b2 = Image.decode(Image.encodeBmp24(w, h, rgb))
       assert(b2.data.sameElements(rgb), s"bmp $w x $h (stride padding)")
+      val ng = Image.decode(Image.encodePng(w, h, 1, gray))
+      assert(ng.data.sameElements(gray) && ng.channels == 1, s"png gray $w x $h")
+      val nc = Image.decode(Image.encodePng(w, h, 3, rgb))
+      assert(nc.data.sameElements(rgb) && nc.channels == 3, s"png rgb $w x $h")
     }
+  }
+
+  // Golden PNGs authored OUTSIDE this codebase (python zlib/struct): the
+  // decoder must read real third-party files — multi-chunk IDAT, ancillary
+  // tEXt, CRCs — not just its own encoder's single-filter output. Together
+  // the four cover filter types Sub/Up/Average/Paeth, palette expansion,
+  // and the alpha-dropping branches.
+  val rgbMixedFiltersB64 = "iVBORw0KGgoAAAANSUhEUgAAAAMAAAADCAIAAADZSiLoAAAADUlEQVR42mPkEpGDACZWGGDZE3Y2ngAAAA5JREFU6X2XkfGe2ex6AC7vBTYJehoDAAAADnRFWHRDb21tZW50AGdvbGRlbgv3q+sAAAAASUVORK5CYII="
+  val rgbMixedFiltersPx = Seq(10,20,30,40,50,60,70,80,90,15,25,35,45,55,65,75,85,95,200,100,0,201,101,1,255,0,128)
+  val paletteB64 = "iVBORw0KGgoAAAANSUhEUgAAAAIAAAACCAMAAABFaP0WAAAADFBMVEX/AAAA/wAAAP/////7AGD2AAAAB0lEQVR42mNgYGRmLVchUQAAAAdJREFUYgIAABkACXKcB7gAAAAOdEVYdENvbW1lbnQAZ29sZGVuC/er6wAAAABJRU5ErkJggg=="
+  val palettePx = Seq(255,0,0,0,255,0,0,0,255,255,255,255)
+  val rgbaB64 = "iVBORw0KGgoAAAANSUhEUgAAAAIAAAABCAYAAAD0In+KAAAACElEQVR42mNgZGI+wdutF1EAAAAJSURBVMLKxg4ABEsA5Wpt6SIAAAAOdEVYdENvbW1lbnQAZ29sZGVuC/er6wAAAABJRU5ErkJggg=="
+  val rgbaPx = Seq(1,2,3,4,5,6)
+  val grayAlphaB64 = "iVBORw0KGgoAAAANSUhEUgAAAAMAAAABCAQAAACx6dw/AAAAB0lEQVR42mPg/M/BMUaFlwAAAAhJREFUwN4AAAXmAZgSbBS/AAAADnRFWHRDb21tZW50AGdvbGRlbgv3q+sAAAAASUVORK5CYII="
+  val grayAlphaPx = Seq(9,8,7)
+
+  test("golden PNGs: third-party files with mixed filters, palette, and alpha decode exactly") {
+    val b64 = java.util.Base64.getDecoder
+    val m = Image.decode(b64.decode(rgbMixedFiltersB64))
+    assert((m.format, m.width, m.height, m.channels) == ("png", 3, 3, 3))
+    assert(m.data.map(_ & 0xff).toSeq == rgbMixedFiltersPx, "Sub/Up/Paeth unfilter")
+    val p = Image.decode(b64.decode(paletteB64))
+    assert((p.width, p.height, p.channels) == (2, 2, 3))
+    assert(p.data.map(_ & 0xff).toSeq == palettePx, "palette + Average unfilter")
+    val r = Image.decode(b64.decode(rgbaB64))
+    assert((r.width, r.height, r.channels) == (2, 1, 3))
+    assert(r.data.map(_ & 0xff).toSeq == rgbaPx, "RGBA alpha drop")
+    val g = Image.decode(b64.decode(grayAlphaB64))
+    assert((g.width, g.height, g.channels) == (3, 1, 1))
+    assert(g.data.map(_ & 0xff).toSeq == grayAlphaPx, "gray+alpha alpha drop")
+  }
+
+  test("corrupted PNG is rejected: flipped pixel byte breaks the CRC, truncated IDAT stalls") {
+    val bytes = java.util.Base64.getDecoder.decode(rgbMixedFiltersB64)
+    val flipped = bytes.clone()
+    flipped(45) = (flipped(45) ^ 0x40).toByte // inside first IDAT body
+    assertThrows[IllegalArgumentException](Image.decode(flipped))
   }
 
   test("GRAY -> RGB expansion then luma is the identity on the gray plane") {
@@ -75,6 +116,6 @@ class ImageSpec extends AnyFunSuite {
       val viaPayload = Detect.extract(Payload.encodeProbMap(px.width, px.height, luma))
       assert(viaImage == viaPayload, s"$ref: image path diverged from payload path")
     }
-    assert(formats == Set("bmp", "pgm", "ppm"), s"all formats must be exercised, got $formats")
+    assert(formats == Set("bmp", "pgm", "ppm", "png"), s"all formats must be exercised, got $formats")
   }
 }

@@ -177,8 +177,27 @@ class OperatorsSpec extends SparkSpec {
     val want = side.map(_.toSeq).toSeq
     assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
     val formats = out.map(_.getAs[String]("format")).toSet
-    assert(formats == Set("bmp", "pgm", "ppm"), s"got $formats")
+    assert(formats == Set("bmp", "pgm", "ppm", "png"), s"got $formats")
     assert(out.exists(_.getAs[Int]("n_regions") > 0), "decoded scenes must yield regions")
+  }
+
+  test("mm3: decode+resize+detect+denormalize equals the sequential oracle, resize is real") {
+    val out = MultimodalOps.imageDetect(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == nDocs)
+    val side = spark.read.parquet(MultimodalOps.imageDetectOracleTable(sf, nDocs))
+      .orderBy("media_ref")
+      .select("media_ref", "width", "height", "rw", "rh", "n_regions", "box_digest", "sum_area")
+      .collect()
+    assert(out.map(_.toSeq).toSeq == side.map(_.toSeq).toSeq)
+    // the resize policy must actually resample (not be the identity) for
+    // most refs, and de-normalized boxes must land in source pixel space
+    assert(out.count(r => r.getAs[Int]("rw") != r.getAs[Int]("width")) > nDocs / 2)
+    assert(out.exists(_.getAs[Int]("n_regions") > 0))
+    out.foreach { r =>
+      assert(r.getAs[Long]("sum_area") <=
+        r.getAs[Int]("width").toLong * r.getAs[Int]("height") * math.max(1, r.getAs[Int]("n_regions")))
+    }
   }
 
   test("winnowing fingerprints: copies collide, shifted copies mostly overlap") {
