@@ -31,6 +31,23 @@ object ScalingBench {
 
     case "measure" :: cpusS :: base :: Nil =>
       val cpus = cpusS.toInt
+      // Burst-credit guard on BOTH axes before the leg starts (round-3
+      // lesson: every 8-thread leg of the instrumented series ran with
+      // drained DISK credits that the CPU spin could not see, producing an
+      // unphysical raw pair). Bounded wait, then ALWAYS emit the probes so a
+      // still-dirty leg self-flags numerically. Wait budget via
+      // GRAFT_PROBE_WAIT_SECS (default 450; disk credits refill on idle).
+      val waitBudget = sys.env.getOrElse("GRAFT_PROBE_WAIT_SECS", "450").toInt
+      var spinN = graft.Bench.spinSecsParallel(cpus)
+      var disk = graft.Bench.diskMbps("/tmp")
+      var waited = 0
+      while ((spinN > graft.Bench.SpinDirtySecs || disk < graft.Bench.DiskDirtyMbps)
+             && waited < waitBudget) {
+        Thread.sleep(75000)
+        waited += 75
+        spinN = graft.Bench.spinSecsParallel(cpus)
+        disk = graft.Bench.diskMbps("/tmp")
+      }
       val spark = session(cpus)
       implicit val s: SparkSession = spark
       import spark.implicits._
@@ -42,12 +59,16 @@ object ScalingBench {
       // (and contends across task threads); production amortizes it over
       // hours, so the measured run should too.
       Extract.run(docs, media).write.mode(SaveMode.Overwrite).parquet(s"$base/warmup_$cpus")
-      val secs = (1 to 3).map { _ =>
+      val attempts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         Extract.run(docs, media).write.mode(SaveMode.Overwrite).parquet(s"$base/out_$cpus")
         (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"""{"cpus":$cpus,"docs":$nDocs,"secs":$secs%.2f,"docs_per_sec":${nDocs / secs}%.1f}""")
+      }
+      val secs = attempts.min
+      val spinAfter = graft.Bench.spinSecsParallel(cpus)
+      val diskAfter = graft.Bench.diskMbps("/tmp")
+      val att = attempts.map(t => f"$t%.2f").mkString("[", ",", "]")
+      println(f"""{"cpus":$cpus,"docs":$nDocs,"secs":$secs%.2f,"docs_per_sec":${nDocs / secs}%.1f,"attempt_secs":$att,"spin_nthread_before":$spinN%.2f,"spin_nthread_after":$spinAfter%.2f,"disk_mbps_before":$disk%.1f,"disk_mbps_after":$diskAfter%.1f,"probe_wait_secs":$waited}""")
       spark.stop()
 
     case "compare" :: base :: c1 :: c2 :: Nil =>
