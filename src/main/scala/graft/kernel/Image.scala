@@ -2,9 +2,10 @@ package graft.kernel
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM decoders/encoders for the uncompressed raster formats a
-  * codec-less container can still genuinely parse: 24-bit BMP
-  * (BITMAPINFOHEADER, BI_RGB), binary PGM (P5) and binary PPM (P6).
+/** Pure-JVM decoders/encoders for the raster formats a codec-less
+  * container can still genuinely parse: 24-bit BMP (BITMAPINFOHEADER,
+  * BI_RGB), binary PGM (P5) and binary PPM (P6), zlib PNG, and baseline
+  * JPEG (dispatch to [[Jpeg]]).
   *
   * This is the real-bytes analog of the reference's decode surface
   * (`cv2.imdecode` + GRAY→3-channel expansion + BGR→RGB flip,
@@ -18,7 +19,8 @@ import java.nio.{ByteBuffer, ByteOrder}
 object Image {
 
   /** Decoded raster: `data` is row-major top-down; 3-channel data is RGB
-    * interleaved, 1-channel is luma. `format` ∈ {"bmp", "pgm", "ppm"}.
+    * interleaved, 1-channel is luma. `format` ∈ {"bmp", "pgm", "ppm",
+    * "png", "jpeg"}.
     */
   final case class Pixmap(format: String, width: Int, height: Int,
                           channels: Int, data: Array[Byte]) {
@@ -27,7 +29,7 @@ object Image {
   }
 
   /** Sniff the magic and parse. BMP = 'B''M'; netpbm = 'P''5' | 'P''6';
-    * PNG = 0x89 'P' 'N' 'G'.
+    * PNG = 0x89 'P' 'N' 'G'; JPEG = 0xFF 0xD8 (SOI).
     */
   def decode(bytes: Array[Byte]): Pixmap = {
     require(bytes.length >= 2, s"image payload too short: ${bytes.length}")
@@ -36,6 +38,7 @@ object Image {
       case ('P', '5')        => decodePnm(bytes, channels = 1, "pgm")
       case ('P', '6')        => decodePnm(bytes, channels = 3, "ppm")
       case (-119, 'P')       => decodePng(bytes) // 0x89 as signed byte
+      case (-1, -40)         => Jpeg.decode(bytes) // 0xff 0xd8 as signed bytes
       case (a, b)            => throw new IllegalArgumentException(f"unknown image magic 0x$a%02x 0x$b%02x")
     }
   }

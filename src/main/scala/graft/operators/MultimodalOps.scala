@@ -14,12 +14,11 @@ import graft.pipeline.GenData
   *    the serialized neural-stage output this engine's whole extraction
   *    pipeline runs on);
   *  - mm2 decodes actual IMAGE FILE FORMATS byte-by-byte (24-bit BMP,
-  *    binary PGM/PPM, and zlib-compressed PNG — graft.kernel.Image, pure
-  *    JVM, no codec libs needed), mirroring the reference's decode surface
-  *    (`cv2.imdecode` + GRAY→3-channel + channel flip,
-  *    /root/reference/cnstd/ppocr/img_operators.py:27-59), then runs the
-  *    STD detection kernel over the decoded luma. JPEG stays
-  *    format-pluggable behind Image.decode's magic dispatch.
+  *    binary PGM/PPM, zlib-compressed PNG, and baseline JPEG —
+  *    graft.kernel.Image/Jpeg, pure JVM, no codec libs needed), mirroring
+  *    the reference's decode surface (`cv2.imdecode` + GRAY→3-channel +
+  *    channel flip, /root/reference/cnstd/ppocr/img_operators.py:27-59),
+  *    then runs the STD detection kernel over the decoded luma.
   */
 object MultimodalOps {
 

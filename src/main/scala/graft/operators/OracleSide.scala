@@ -15,7 +15,7 @@ package graft.operators
   */
 object OracleSide {
   /** Bump on any generator/kernel semantics change that alters oracle rows. */
-  final val Version = "r4a" // r4a: mm2 payload mix gains PNG (kind 3/4 of 5)
+  final val Version = "r4b" // r4b: mm2 payload mix gains baseline JPEG (kind 5/6 of 7)
 
   def root: String = sys.env.getOrElse("GRAFT_SIDE_ROOT",
     s"${sys.props("user.dir")}/target/oracle_side")

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.kernel.{Html, Image, Payload, Pdf, SplitMix64}
+import graft.kernel.{Html, Image, Jpeg, Payload, Pdf, SplitMix64}
 import graft.schema.{Doc, Media, RawSpan, Vocab}
 
 /** Deterministic synthetic document generator (FIXTURES.md §4): a pure function
@@ -108,11 +108,14 @@ object GenData {
 
   /** REAL image-format payload for one media_ref (mm2): the stdCells blob
     * scene serialized as an actual raster file — 24-bit BMP (gray replicated
-    * to RGB), binary PGM, binary PPM, or zlib-compressed PNG (gray or RGB),
-    * chosen per ref — that graft.kernel.Image genuinely parses byte-by-byte
-    * (headers, row padding, bottom-up order, inflate + unfilter + CRC for
-    * PNG). Keyed independently of the doc PRNG like payload(), so any row
-    * reproduces in isolation.
+    * to RGB), binary PGM, binary PPM, zlib-compressed PNG (gray or RGB), or
+    * baseline JPEG (gray or 4:4:4 color), chosen per ref — that
+    * graft.kernel.Image genuinely parses byte-by-byte (headers, row padding,
+    * bottom-up order, inflate + unfilter + CRC for PNG, Huffman + IDCT +
+    * YCbCr for JPEG). Keyed independently of the doc PRNG like payload(), so
+    * any row reproduces in isolation. JPEG being lossy, consumers must treat
+    * the DECODED pixels as ground truth (both mm2 paths decode the same
+    * bytes, so the oracle compare is unaffected).
     */
   def imagePayload(seed: Long, mediaRef: String): Array[Byte] = {
     val rng = SplitMix64.forKey(seed, "image:" + mediaRef)
@@ -126,12 +129,14 @@ object GenData {
       }
       out
     }
-    rng.nextInt(5) match {
+    rng.nextInt(7) match {
       case 0 => Image.encodePgm(w, h, cells)
       case 1 => Image.encodeBmp24(w, h, rgb)
       case 2 => Image.encodePpm(w, h, rgb)
       case 3 => Image.encodePng(w, h, 1, cells)
-      case _ => Image.encodePng(w, h, 3, rgb)
+      case 4 => Image.encodePng(w, h, 3, rgb)
+      case 5 => Jpeg.encode(w, h, 1, cells)
+      case _ => Jpeg.encode(w, h, 3, rgb)
     }
   }
 

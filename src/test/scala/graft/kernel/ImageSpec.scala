@@ -116,6 +116,7 @@ class ImageSpec extends AnyFunSuite {
       val viaPayload = Detect.extract(Payload.encodeProbMap(px.width, px.height, luma))
       assert(viaImage == viaPayload, s"$ref: image path diverged from payload path")
     }
-    assert(formats == Set("bmp", "pgm", "ppm", "png"), s"all formats must be exercised, got $formats")
+    assert(formats == Set("bmp", "pgm", "ppm", "png", "jpeg"),
+      s"all formats must be exercised, got $formats")
   }
 }

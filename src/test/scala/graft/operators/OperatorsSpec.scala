@@ -177,7 +177,7 @@ class OperatorsSpec extends SparkSpec {
     val want = side.map(_.toSeq).toSeq
     assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
     val formats = out.map(_.getAs[String]("format")).toSet
-    assert(formats == Set("bmp", "pgm", "ppm", "png"), s"got $formats")
+    assert(formats == Set("bmp", "pgm", "ppm", "png", "jpeg"), s"got $formats")
     assert(out.exists(_.getAs[Int]("n_regions") > 0), "decoded scenes must yield regions")
   }
 
