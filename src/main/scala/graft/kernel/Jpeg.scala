@@ -607,27 +607,116 @@ object Jpeg {
       }
       Image.Pixmap("jpeg", w, h, 1, out)
     } else {
+      // Bring every plane to full resolution with libjpeg-compatible
+      // upsampling (jdsample.c): the "fancy" 3:1 triangle filter for 2x
+      // horizontal and 2x2, plain replication otherwise — matching what
+      // cv2.imdecode / ImageIO produce on subsampled chroma, so decoded
+      // pixels interoperate with the reference's decode stack
+      // (ImageIoInteropSpec pins this against the JDK's independent codec).
+      val full = comps.indices.map { ci =>
+        val c = comps(ci)
+        val dw = (w * c.hs + hMax - 1) / hMax
+        val dh = (h * c.vs + vMax - 1) / vMax
+        upsample(planes(ci), planeW(ci), dw, dh, hMax / c.hs, vMax / c.vs, w, h)
+      }.toArray
       val out = new Array[Byte](w * h * 3)
+      var i = 0
+      val n = w * h
+      while (i < n) {
+        val yv = full(0)(i) & 0xff
+        val cb = (full(1)(i) & 0xff) - 128
+        val cr = (full(2)(i) & 0xff) - 128
+        val d = i * 3
+        out(d) = clamp255(math.rint(yv + 1.402 * cr).toInt).toByte
+        out(d + 1) = clamp255(math.rint(yv - 0.344136 * cb - 0.714136 * cr).toInt).toByte
+        out(d + 2) = clamp255(math.rint(yv + 1.772 * cb).toInt).toByte
+        i += 1
+      }
+      Image.Pixmap("jpeg", w, h, 3, out)
+    }
+  }
+
+  /** Upsample one component plane (valid region `dw`x`dh` inside an
+    * MCU-padded array of row stride `stride`) to `outW`x`outH`, with the
+    * expansion factors libjpeg supports per axis (1 or 2 here).
+    *
+    * Filter choice mirrors jdsample.c's selection: 2x-horizontal and 2x2
+    * get the "fancy" triangle filter (3/4 nearer + 1/4 further, with
+    * libjpeg's exact edge handling and rounding constants), every other
+    * ratio gets plain pixel replication (int_upsample).
+    */
+  private def upsample(plane: Array[Byte], stride: Int, dw: Int, dh: Int,
+                       fx: Int, fy: Int, outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH)
+    if (fx == 1 && fy == 1) {
       var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          def sample(ci: Int): Int = {
-            val c = comps(ci)
-            val sx = x * c.hs / hMax
-            val sy = y * c.vs / vMax
-            planes(ci)(sy * planeW(ci) + sx) & 0xff
+      while (y < outH) {
+        System.arraycopy(plane, y * stride, out, y * outW, outW); y += 1
+      }
+    } else if (fx == 2 && fy == 2) {
+      // h2v2_fancy_upsample: vertical 3:1 column sums (nearer row weight 3,
+      // further row weight 1, edge rows replicated), then the horizontal
+      // triangle over the sums with 1/16 rounding.
+      val colsum = new Array[Int](dw)
+      var oy = 0
+      while (oy < outH) {
+        val r0 = oy >> 1
+        val r1 = if ((oy & 1) == 0) math.max(r0 - 1, 0) else math.min(r0 + 1, dh - 1)
+        var cx = 0
+        while (cx < dw) {
+          colsum(cx) = (plane(r0 * stride + cx) & 0xff) * 3 + (plane(r1 * stride + cx) & 0xff)
+          cx += 1
+        }
+        val row = oy * outW
+        cx = 0
+        while (cx < dw) {
+          val t = colsum(cx)
+          if (2 * cx < outW) {
+            val e = if (cx == 0) (t * 4 + 8) >> 4 else (t * 3 + colsum(cx - 1) + 8) >> 4
+            out(row + 2 * cx) = e.toByte
           }
-          val yv = sample(0); val cb = sample(1) - 128; val cr = sample(2) - 128
-          val d = (y * w + x) * 3
-          out(d) = clamp255(math.rint(yv + 1.402 * cr).toInt).toByte
-          out(d + 1) = clamp255(math.rint(yv - 0.344136 * cb - 0.714136 * cr).toInt).toByte
-          out(d + 2) = clamp255(math.rint(yv + 1.772 * cb).toInt).toByte
+          if (2 * cx + 1 < outW) {
+            val o = if (cx == dw - 1) (t * 4 + 7) >> 4 else (t * 3 + colsum(cx + 1) + 7) >> 4
+            out(row + 2 * cx + 1) = o.toByte
+          }
+          cx += 1
+        }
+        oy += 1
+      }
+    } else if (fx == 2 && fy == 1) {
+      // h2v1_fancy_upsample: horizontal triangle, edge columns copied.
+      var y = 0
+      while (y < outH) {
+        val in = y * stride
+        val row = y * outW
+        var cx = 0
+        while (cx < dw) {
+          val t = plane(in + cx) & 0xff
+          if (2 * cx < outW) {
+            val e = if (cx == 0) t else (t * 3 + (plane(in + cx - 1) & 0xff) + 1) >> 2
+            out(row + 2 * cx) = e.toByte
+          }
+          if (2 * cx + 1 < outW) {
+            val o = if (cx == dw - 1) t else (t * 3 + (plane(in + cx + 1) & 0xff) + 2) >> 2
+            out(row + 2 * cx + 1) = o.toByte
+          }
+          cx += 1
+        }
+        y += 1
+      }
+    } else {
+      // int_upsample: plain replication (libjpeg has no fancy v-only path).
+      var y = 0
+      while (y < outH) {
+        val sy = math.min(y / fy, dh - 1)
+        var x = 0
+        while (x < outW) {
+          out(y * outW + x) = plane(sy * stride + math.min(x / fx, dw - 1))
           x += 1
         }
         y += 1
       }
-      Image.Pixmap("jpeg", w, h, 3, out)
     }
+    out
   }
 }
