@@ -17,16 +17,18 @@ import graft.pipeline.GenData
   * driver mismatch.
   *
   * Scale shape: one scan, embarrassingly parallel per-row map (the kernel is
-  * the only object boundary), no shuffle before the final presentation sort.
-  * At 100 TB this is the same map-only plan as qf1.
+  * the only object boundary), no data shuffle before the final presentation
+  * sort at production split counts — Par.spread adds one only when the scan
+  * under-parallelizes (single-file test corpora). At 100 TB this is the same
+  * map-only plan as qf1.
   */
 object HtmlOps {
 
   def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    Par.spread(spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+      .as[(Long, String)])
       .map { case (id, text) =>
         (id, Html.mainContent(GenData.htmlPayload(GenData.DefaultSeed, id, text)))
       }

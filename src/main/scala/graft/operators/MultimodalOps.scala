@@ -132,7 +132,7 @@ object MultimodalOps {
         .map(ref => decodeMeta(MediaRow(ref, GenData.payload(GenData.DefaultSeed, ref))))
       spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
     }
-    val media = refs.map(ref => MediaRow(ref, GenData.payload(GenData.DefaultSeed, ref)))
+    val media = Par.spread(refs).map(ref => MediaRow(ref, GenData.payload(GenData.DefaultSeed, ref)))
     media
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(decodeMeta)))
       .toDF()
@@ -156,7 +156,9 @@ object MultimodalOps {
         .map(ref => decodeImageMeta(MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref))))
       spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
     }
-    val media = refs.map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
+    // spread BEFORE the payload synth/decode: only the short ref strings
+    // shuffle, the CPU-dense work lands evenly on every core
+    val media = Par.spread(refs).map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
     media
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(decodeImageMeta)))
       .toDF()
@@ -180,7 +182,7 @@ object MultimodalOps {
         .map(ref => detectOnImage(MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref))))
       spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
     }
-    refs.map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
+    Par.spread(refs).map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(detectOnImage)))
       .toDF()
       .orderBy("media_ref")

@@ -15,15 +15,16 @@ import graft.pipeline.GenData
   * `documents.text` (`md5(text)` straight off the source parquet).
   *
   * Scale shape: identical to hx1 — one scan, embarrassingly parallel
-  * per-row map, no shuffle before the presentation sort.
+  * per-row map, no data shuffle at production split counts (Par.spread
+  * guards the single-file test-corpus case) before the presentation sort.
   */
 object PdfOps {
 
   def pdfExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    Par.spread(spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+      .as[(Long, String)])
       .map { case (id, text) =>
         (id, Pdf.extractText(GenData.pdfPayload(GenData.DefaultSeed, id, text)))
       }

@@ -105,8 +105,11 @@ object TextOps {
     // array per window unless codegen CSE saves it
     val wins = transform(sequence(lit(1), size(col("hs")) - (FpW - 1)),
       i => array_min(slice(col("hs"), i, lit(FpW))))
-    docs(spark, dir)
-      .where(len >= FpK + FpW)
+    // the k-gram hashing is the most CPU-dense columnar stage in the suite
+    // (O(len·(FpK+FpW)) per doc) — Par.spread keeps it off a single task
+    // when the scan is one small file (31.4 s → ~1.6 s at sf0.1, a no-op at
+    // production split counts)
+    Par.spread(docs(spark, dir).where(len >= FpK + FpW).select(col("doc_id"), col("text")))
       .select(col("doc_id"), hashes.as("hs"))
       .select(col("doc_id"), explode(array_distinct(wins)).as("fp"))
       .orderBy("doc_id", "fp")
