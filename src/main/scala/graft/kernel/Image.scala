@@ -28,6 +28,28 @@ object Image {
       s"pixel buffer ${data.length} != $width x $height x $channels")
   }
 
+  /** Upper bound on any decoder's pixel-buffer footprint. A corrupt or
+    * hostile header otherwise commits the task to a multi-GB allocation —
+    * or an Int-overflowed NEGATIVE array size (65535² already exceeds
+    * Int.MaxValue) — BEFORE the data stream can disprove the claimed
+    * dimensions. One bad payload among 10^12 must throw a bounded
+    * IllegalArgumentException, never OOM an executor; 1 GiB admits any
+    * plausible page/scene raster.
+    */
+  final val MaxDecodedBytes: Long = 1L << 30
+
+  /** Dimension sanity shared by every decoder: positive dims, and the
+    * decoded buffer (computed in Long, immune to Int overflow) within
+    * [[MaxDecodedBytes]]. `channels` is the decoder's worst-case per-pixel
+    * byte footprint, not necessarily the output channel count.
+    */
+  private[kernel] def checkDims(format: String, w: Int, h: Int, channels: Int): Unit = {
+    require(w > 0 && h > 0, s"$format: non-positive dimensions $w x $h")
+    val need = w.toLong * h * channels
+    require(need <= MaxDecodedBytes,
+      s"$format: claimed $w x $h x$channels = $need bytes exceeds decode cap $MaxDecodedBytes")
+  }
+
   /** Sniff the magic and parse. BMP = 'B''M'; netpbm = 'P''5' | 'P''6';
     * PNG = 0x89 'P' 'N' 'G'; JPEG = 0xFF 0xD8 (SOI).
     */
@@ -63,10 +85,12 @@ object Image {
     require(bpp == 24, s"only 24-bit BMP supported, got $bpp")
     require(compression == 0, s"only BI_RGB (uncompressed) supported, got $compression")
     val h = math.abs(rawH)
+    checkDims("bmp", w, h, 3)
+    require(dataOffset >= 0 && dataOffset <= bytes.length, s"BMP data offset $dataOffset out of range")
     val bottomUp = rawH > 0
     val rowStride = ((w * 3 + 3) / 4) * 4
-    require(bytes.length >= dataOffset + rowStride * h,
-      s"BMP truncated: need ${dataOffset + rowStride * h}, have ${bytes.length}")
+    require(bytes.length >= dataOffset.toLong + rowStride.toLong * h,
+      s"BMP truncated: need ${dataOffset.toLong + rowStride.toLong * h}, have ${bytes.length}")
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -114,6 +138,7 @@ object Image {
     val h = nextToken()
     val maxval = nextToken()
     require(maxval > 0 && maxval <= 255, s"$format maxval $maxval unsupported")
+    checkDims(format, w, h, channels)
     pos += 1 // exactly one whitespace byte after maxval
     val n = w * h * channels
     require(bytes.length >= pos + n, s"$format truncated: need ${pos + n}, have ${bytes.length}")
@@ -166,7 +191,8 @@ object Image {
           require(Set(0, 2, 3, 4, 6)(colorType), s"unsupported PNG color type $colorType")
           require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0, "non-deflate/non-adaptive PNG")
           require(bytes(pos + 20) == 0, "interlaced PNG unsupported")
-          require(w > 0 && h > 0, s"bad PNG dims $w x $h")
+          // worst case 4 source bytes/pixel (RGBA) + the filter column
+          checkDims("png", w, h, 4)
         case "PLTE" =>
           require(len % 3 == 0, s"PLTE length $len not a multiple of 3")
           palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)

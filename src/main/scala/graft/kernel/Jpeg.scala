@@ -522,6 +522,11 @@ object Jpeg {
       if (scanAt < 0) pos += 2 + len
     }
     require(w > 0 && h > 0, "JPEG missing SOF")
+    // footprint budget 8 bytes/pixel: MCU-padded component planes (<=3x),
+    // full-res upsampled planes (3x), RGB output (3x) — all Long-checked so
+    // a hostile 65535x65535 SOF throws instead of Int-overflowing the
+    // allocation (65535^2 > Int.MaxValue) or OOMing the executor task
+    Image.checkDims("jpeg", w, h, 8)
     val hMax = comps.map(_.hs).max
     val vMax = comps.map(_.vs).max
     val mcuW = 8 * hMax

@@ -102,6 +102,57 @@ class ImageSpec extends AnyFunSuite {
       "replicated channels must survive the integer BT.601 luma exactly")
   }
 
+  test("hostile headers throw a bounded error before any pixel allocation") {
+    // One corrupt payload among 10^12 must fail as a cheap
+    // IllegalArgumentException, never an executor OOM or a negative array
+    // size from Int overflow (65535^2 > Int.MaxValue). Each case patches a
+    // VALID file's dimension fields to an absurd claim the tiny data stream
+    // cannot back, so only the header guard stands between the parser and a
+    // multi-GB allocation.
+    def putLe32(a: Array[Byte], p: Int, v: Int): Unit = {
+      a(p) = v.toByte; a(p + 1) = (v >> 8).toByte
+      a(p + 2) = (v >> 16).toByte; a(p + 3) = (v >> 24).toByte
+    }
+    def putBe32(a: Array[Byte], p: Int, v: Int): Unit = {
+      a(p) = (v >> 24).toByte; a(p + 1) = (v >> 16).toByte
+      a(p + 2) = (v >> 8).toByte; a(p + 3) = v.toByte
+    }
+    def putBe16(a: Array[Byte], p: Int, v: Int): Unit = {
+      a(p) = (v >> 8).toByte; a(p + 1) = v.toByte
+    }
+
+    val bmp = Image.encodeBmp24(2, 2, new Array[Byte](12))
+    putLe32(bmp, 18, 65535); putLe32(bmp, 22, 65535) // BITMAPINFOHEADER w/h
+    val e1 = intercept[IllegalArgumentException](Image.decode(bmp))
+    assert(e1.getMessage.contains("decode cap"), e1.getMessage)
+
+    val pgm = "P5 65535 65535 255\n".getBytes("US-ASCII") :+ 0.toByte
+    val e2 = intercept[IllegalArgumentException](Image.decode(pgm))
+    assert(e2.getMessage.contains("decode cap"), e2.getMessage)
+
+    // PNG IHDR dims live at offsets 16/20; the chunk CRC covers type+data
+    // (bytes 12..28) and must be recomputed or the CRC gate fires first
+    val png = Image.encodePng(2, 2, 3, new Array[Byte](12))
+    putBe32(png, 16, 65535); putBe32(png, 20, 65535)
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 4 + 13)
+    putBe32(png, 29, crc.getValue.toInt)
+    val e3 = intercept[IllegalArgumentException](Image.decode(png))
+    assert(e3.getMessage.contains("decode cap"), e3.getMessage)
+
+    // JPEG SOF0 carries height/width big-endian at marker+5/+7
+    val jpg = Jpeg.encode(8, 8, 1, new Array[Byte](64))
+    val sof = (0 until jpg.length - 1).find(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0).get
+    putBe16(jpg, sof + 5, 65535); putBe16(jpg, sof + 7, 65535)
+    val e4 = intercept[IllegalArgumentException](Image.decode(jpg))
+    assert(e4.getMessage.contains("decode cap"), e4.getMessage)
+
+    // zero/negative dimensions are rejected by the same shared guard
+    intercept[IllegalArgumentException](
+      Image.decode("P5 0 5 255\n".getBytes("US-ASCII")))
+  }
+
   test("decoded image pixels drive the STD kernel identically to the tensor payload path") {
     // for generated refs: decode the real image file, take the luma, and
     // check the detection kernel sees EXACTLY what it would see had the same
