@@ -157,6 +157,11 @@ object SparkEntry {
     // decode + resize policy (type0 resize_long, /32) + detect + P7 box
     // de-normalization back to source coords, digest value-checked
     "mm3_image_detect" -> (MultimodalOps.imageDetect _),
+    // corrupt-payload quarantine: a payload mix with deterministic bad
+    // records (truncation / lied magic / bit-rot / decode-bomb headers) —
+    // bad rows classified and quarantined, never a task failure; survivors
+    // pixel-hash value-checked like mm2
+    "mm4_decode_quarantine" -> (MultimodalOps.decodeQuarantine _),
     // HTML boilerplate strip (north rule surface): wrap each doc's text in a
     // deterministic full page, strip it back with the DOM-heuristic kernel;
     // oracle is md5(text) straight off the source table — no side table
@@ -208,6 +213,10 @@ object SparkEntry {
     "mm3_image_detect" ->
       s"""SELECT media_ref, width, height, rw, rh, n_regions, box_digest, sum_area
         |FROM read_parquet('${MultimodalOps.imageDetectOracleTable(sfDir, nDocsTable)}/*.parquet')
+        |ORDER BY media_ref""".stripMargin,
+    "mm4_decode_quarantine" ->
+      s"""SELECT media_ref, status, err_kind, format, width, height, pix_hash, n_bytes
+        |FROM read_parquet('${MultimodalOps.quarantineOracleTable(sfDir, nDocsTable)}/*.parquet')
         |ORDER BY media_ref""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

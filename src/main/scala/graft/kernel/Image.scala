@@ -65,6 +65,47 @@ object Image {
     }
   }
 
+  /** Stable classification of a decode failure. At 10^12 documents a bad
+    * byte stream is an EXPECTED input, not an exceptional condition: the
+    * pipeline quarantines the record and keeps the stage alive, and ops
+    * dashboards need the failure MIX (truncation vs bit-rot vs hostile
+    * header), not a stack trace per record. Kinds are derived from this
+    * file's own deterministic error messages, so the same bytes classify
+    * identically on any executor and in the single-threaded oracle.
+    */
+  final case class DecodeFailure(kind: String, detail: String)
+
+  private def classify(t: Throwable): DecodeFailure = {
+    val msg = Option(t.getMessage).getOrElse("")
+    val m = msg.toLowerCase
+    val kind = t match {
+      case _: IllegalArgumentException =>
+        if (m.contains("decode cap") || m.contains("non-positive dimensions")) "hostile_header"
+        else if (m.contains("magic") || m.contains("not a bmp")) "bad_magic"
+        else if (m.contains("truncat") || m.contains("stalled") || m.contains("short") ||
+                 m.contains("overruns") || m.contains("exhausted") || m.contains("out of range")) "truncated"
+        else if (m.contains("crc")) "crc_mismatch"
+        else if (m.contains("unsupported") || m.contains("progressive") || m.contains("arithmetic") ||
+                 m.contains("interlaced")) "unsupported_variant"
+        else "malformed"
+      // anything a fuzzer shakes loose past the require() fences (index
+      // out of bounds, zip DataFormatException, ...) is still a per-record
+      // reject, classified coarsely rather than crashing the task
+      case _ => "corrupt_stream"
+    }
+    DecodeFailure(kind, s"${t.getClass.getSimpleName}: $msg")
+  }
+
+  /** Total decode: never throws on bad input. The quarantine entry point
+    * for ingestion paths — [[decode]] stays the strict kernel used where
+    * payloads are trusted (engine-encoded fixtures, tests). Fatal errors
+    * (OOM, interrupts) still propagate; everything else becomes a typed,
+    * deterministic [[DecodeFailure]].
+    */
+  def decodeSafe(bytes: Array[Byte]): Either[DecodeFailure, Pixmap] =
+    try Right(decode(bytes))
+    catch { case scala.util.control.NonFatal(t) => Left(classify(t)) }
+
   /** 24-bit uncompressed BMP: BITMAPFILEHEADER (14 bytes, little-endian)
     * then BITMAPINFOHEADER (40 bytes). Rows are BGR triples padded to a
     * 4-byte boundary; positive biHeight = bottom-up (the common case),

@@ -105,8 +105,30 @@ object MultimodalOps {
     ImageDetectRow(r.media_ref, px.width, px.height, rw, rh, regions.length, digest, area)
   }
 
+  final case class QuarantineRow(media_ref: String, status: String, err_kind: String,
+                                 format: String, width: Int, height: Int,
+                                 pix_hash: Long, n_bytes: Int)
+
+  /** Total per-record decode: a bad byte stream yields a quarantined row
+    * (stable error class, no pixels), never a task failure — the semantics
+    * a 10^12-document ingestion stage must have, since at that scale some
+    * corrupt payloads are a certainty, and one of them must not be able to
+    * kill a 1000-executor job on its 4th retry.
+    */
+  private def quarantineMeta(r: MediaRow): QuarantineRow =
+    Image.decodeSafe(r.payload) match {
+      case Right(px) =>
+        val luma = Image.gray(if (px.channels == 1) Image.grayToRgb(px) else px)
+        QuarantineRow(r.media_ref, "ok", "", px.format, px.width, px.height,
+          pixHash(luma), r.payload.length)
+      case Left(f) =>
+        QuarantineRow(r.media_ref, "quarantined", f.kind, "", -1, -1, 0L, r.payload.length)
+    }
+
   /** Side parquet holding the sequential (driver-computed) metadata oracle. */
   def oracleTable(dir: String, n: Long): String = OracleSide.path("mm1_oracle_meta", dir, n)
+
+  def quarantineOracleTable(dir: String, n: Long): String = OracleSide.path("mm4_oracle_quar", dir, n)
 
   def imageOracleTable(dir: String, n: Long): String = OracleSide.path("mm2_oracle_img", dir, n)
 
@@ -184,6 +206,37 @@ object MultimodalOps {
     }
     Par.spread(refs).map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(detectOnImage)))
+      .toDF()
+      .orderBy("media_ref")
+  }
+
+  /** mm4: ingestion over a payload mix that INCLUDES corrupt byte streams
+    * (GenData.mixedPayload — truncation, lied magic, bit-rot, decode-bomb
+    * headers). Bad records are quarantined per-row with a deterministic
+    * error class and counted in a `LongAccumulator` (the per-partition
+    * metrics surface a cluster UI/StreamingQueryListener reads); good rows
+    * carry the same pixel-hash value check as mm2. The whole mix — who is
+    * quarantined, with which class, and every surviving pixel hash — is
+    * value-checked against a sequential driver-side oracle.
+    */
+  def decodeQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val refs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(concat(lit("mix-doc-"), $"doc_id").as("media_ref"))
+      .as[String]
+    val side = quarantineOracleTable(dir, refs.count())
+    if (!OracleSide.exists(side)) {
+      val seq = refs.collect().sorted.toSeq
+        .map(ref => quarantineMeta(MediaRow(ref, GenData.mixedPayload(GenData.DefaultSeed, ref))))
+      spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
+    }
+    val quarantined = spark.sparkContext.longAccumulator("graft.mm4.quarantined")
+    Par.spread(refs).map(ref => MediaRow(ref, GenData.mixedPayload(GenData.DefaultSeed, ref)))
+      .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map { r =>
+        val row = quarantineMeta(r)
+        if (row.status != "ok") quarantined.add(1L)
+        row
+      }))
       .toDF()
       .orderBy("media_ref")
   }

@@ -153,6 +153,47 @@ class ImageSpec extends AnyFunSuite {
       Image.decode("P5 0 5 255\n".getBytes("US-ASCII")))
   }
 
+  test("fuzz: decodeSafe is total — noise and mutated files reject cheaply, never throw") {
+    // At 10^12 documents every corruption pattern WILL occur. decodeSafe is
+    // the ingestion contract: any byte stream either decodes or returns a
+    // classified DecodeFailure — no exception escapes, no unbounded
+    // allocation (the checkDims cap), no hang (every parser loop strictly
+    // advances). Seeded, so a failure reproduces.
+    val kinds = Set("hostile_header", "bad_magic", "truncated", "crc_mismatch",
+      "unsupported_variant", "malformed", "corrupt_stream")
+    def total(b: Array[Byte]): Unit = Image.decodeSafe(b) match {
+      case Left(f)   => assert(kinds(f.kind), s"unknown kind ${f.kind} (${f.detail})")
+      case Right(px) => assert(px.width > 0 && px.height > 0)
+    }
+    val rnd = new scala.util.Random(20260817L)
+
+    // pure noise, including empty and 1-byte buffers
+    for (n <- 0 until 500) {
+      val b = new Array[Byte](n % 600)
+      rnd.nextBytes(b)
+      total(b)
+    }
+
+    // mutations of one valid file per format family (truncations at every
+    // byte boundary for the small ones, plus random byte rewrites)
+    val gray = Array.tabulate(16 * 12)(i => (i * 7 % 251).toByte)
+    val rgb = Array.tabulate(16 * 12 * 3)(i => (i * 5 % 249).toByte)
+    val valids = Seq(
+      Image.encodePgm(16, 12, gray), Image.encodePpm(16, 12, rgb),
+      Image.encodeBmp24(16, 12, rgb), Image.encodePng(16, 12, 1, gray),
+      Image.encodePng(16, 12, 3, rgb), Jpeg.encode(16, 12, 1, gray),
+      Jpeg.encode(16, 12, 3, rgb))
+    for (v <- valids) {
+      for (cut <- 0 until v.length) total(java.util.Arrays.copyOf(v, cut))
+      for (_ <- 0 until 300) {
+        val b = v.clone()
+        val edits = 1 + rnd.nextInt(4)
+        for (_ <- 0 until edits) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        total(b)
+      }
+    }
+  }
+
   test("decoded image pixels drive the STD kernel identically to the tensor payload path") {
     // for generated refs: decode the real image file, take the luma, and
     // check the detection kernel sees EXACTLY what it would see had the same

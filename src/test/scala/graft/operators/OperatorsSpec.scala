@@ -200,6 +200,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("mm4: corrupt payloads quarantine deterministically, survivors match the oracle") {
+    val out = MultimodalOps.decodeQuarantine(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == nDocs)
+    // distributed output == sequential driver oracle, row for row
+    val side = spark.read.parquet(MultimodalOps.quarantineOracleTable(sf, nDocs))
+      .orderBy("media_ref")
+      .select("media_ref", "status", "err_kind", "format", "width", "height", "pix_hash", "n_bytes")
+      .collect()
+    assert(out.map(_.toSeq).toSeq == side.map(_.toSeq).toSeq)
+    // the mix must actually exercise the quarantine: some rows rejected
+    // (~3/16 of refs draw a format-violating corruption), most rows fine,
+    // and the planted corruption classes all observed
+    val quarantined = out.filter(_.getAs[String]("status") == "quarantined")
+    val ok = out.filter(_.getAs[String]("status") == "ok")
+    assert(quarantined.nonEmpty && ok.length > out.length / 2,
+      s"quarantined=${quarantined.length} ok=${ok.length}")
+    val kinds = quarantined.map(_.getAs[String]("err_kind")).toSet
+    assert(kinds.contains("hostile_header"), s"decode-bomb header not seen: $kinds")
+    assert(kinds.contains("bad_magic"), s"lied magic not seen: $kinds")
+    assert(kinds.exists(k => k == "truncated" || k == "crc_mismatch" || k == "corrupt_stream" || k == "malformed"),
+      s"truncation/bit-rot class not seen: $kinds")
+    // quarantined rows carry no pixel claims; ok rows carry real ones
+    quarantined.foreach { r =>
+      assert(r.getAs[Int]("width") == -1 && r.getAs[Long]("pix_hash") == 0L)
+    }
+    assert(ok.exists(_.getAs[Long]("pix_hash") != 0L))
+  }
+
   test("winnowing fingerprints: copies collide, shifted copies mostly overlap") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away today"
