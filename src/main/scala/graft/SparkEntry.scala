@@ -108,6 +108,9 @@ object SparkEntry {
     "txt5_repetition" -> (TextOps.repetitionStats _),
     // Gopher-rule composite keep/drop filter — pure map, no shuffle
     "qf1_quality_filter" -> (TextOps.qualityFilter _),
+    // composite training-data prep: quality gate -> exact dedup among
+    // survivors -> keeper language + token count, ONE plan, one shuffle
+    "pipe1_training_prep" -> (TextOps.trainingPrep _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -530,6 +533,62 @@ object SparkEntry {
         |  round(dup2, 4) AS dup_2gram_frac, reject_reason,
         |  CAST(reject_reason IS NULL AS INT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the composite pipeline: qf1's quality rules, dd1's dedup, txt3's
+    // langid — each CTE reuses the corresponding single-operator oracle's
+    // expressions verbatim, so pipe1's oracle is their composition too
+    "pipe1_training_prep" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, len(toks) AS n,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) END AS mtl,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks,
+        |                x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], lower(x)))) AS DOUBLE)
+        |              / len(toks) END AS stop_r,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dist_r,
+        |    CASE WHEN len(toks) < 2 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |                  i -> toks[i] || chr(1) || toks[i+1]))) AS DOUBLE)
+        |              / CAST(len(toks) - 1 AS DOUBLE) END AS dup2
+        |  FROM d),
+        |k AS (
+        |  SELECT doc_id, text, n FROM s
+        |  WHERE NOT (n < 25 OR n > 100000 OR mtl < 3.0 OR mtl > 10.0
+        |             OR stop_r < 0.01 OR dist_r < 0.35 OR dup2 > 0.06)),
+        |l AS (
+        |  SELECT doc_id, text, n,
+        |    (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) // 5
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) // 5
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) // 4
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' is ', ''))) // 4 AS s_en,
+        |    (length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ''))) // 5
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' und ', ''))) // 5
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' die ', ''))) // 5
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' das ', ''))) // 5 AS s_de,
+        |    (length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ''))) // 4
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' et ', ''))) // 4
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' les ', ''))) // 5
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' des ', ''))) // 5 AS s_fr,
+        |    (length(' '||text||' ') - length(replace(' '||text||' ', ' el ', ''))) // 4
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' y ', ''))) // 3
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' los ', ''))) // 5
+        |    + (length(' '||text||' ') - length(replace(' '||text||' ', ' las ', ''))) // 5 AS s_es,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS s_zh
+        |  FROM k)
+        |SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper,
+        |  min(CASE WHEN s_zh > 0 THEN 'zh'
+        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END) AS keeper_lang,
+        |  min(n) AS keeper_tokens
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev4_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us FROM events),

@@ -61,17 +61,24 @@ object TextOps {
     "fr" -> Seq("le", "et", "les", "des"),
     "es" -> Seq("el", "y", "los", "las"))
 
-  /** N-gram-heuristic language ID: CJK chars force zh; otherwise the highest
-    * marker-word vote wins, ties broken in (en, de, fr, es) order.
+  /** The language-ID verdict as a composable Column over `text`: CJK chars
+    * force zh; otherwise the highest marker-word vote wins, ties broken in
+    * (en, de, fr, es) order. Shared by txt3 and pipe1 so the two can never
+    * drift apart.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def predLang: Column = {
     val scores = LangMarkers.map { case (l, ms) => l -> markerScore(ms) }.toMap
     val cjk = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
-    val pred = when(cjk > 0, "zh")
+    when(cjk > 0, "zh")
       .when(scores("en") >= scores("de") && scores("en") >= scores("fr") && scores("en") >= scores("es"), "en")
       .when(scores("de") >= scores("fr") && scores("de") >= scores("es"), "de")
       .when(scores("fr") >= scores("es"), "fr")
       .otherwise("es")
+  }
+
+  /** N-gram-heuristic language ID (txt3). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val pred = predLang
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
         (pred === col("lang")).cast("int").as("matched"))
@@ -197,8 +204,14 @@ object TextOps {
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
     qualityFilterOf(docs(spark, dir))
 
-  def qualityFilterOf(d: DataFrame): DataFrame = {
-    val mat = d.select(col("doc_id"), tokensOf(col("text")).as("toks"))
+  /** Append the raw quality stats + first-failing-rule verdict to `d` (which
+    * must carry `text`), keeping every input column — the composable form
+    * qf1 formats and pipe1 builds on WITHOUT a self-join back to the corpus
+    * (re-joining derived flags onto the source is a shuffle the 100 TB plan
+    * must not pay; appending columns is free).
+    */
+  def qualityStats(d: DataFrame): DataFrame = {
+    val mat = d.withColumn("toks", tokensOf(col("text")))
     val n = size(col("toks"))
     val nD = n.cast("double")
     val meanTokLen = when(n === 0, 0.0)
@@ -212,24 +225,48 @@ object TextOps {
     val dup2 = when(n < 2, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(g2)).cast("double") / (n - 1).cast("double"))
     mat
-      .select(col("doc_id"), n.as("n_tokens"), meanTokLen.as("mtl"),
-        stopRatio.as("stop_r"), distinctRatio.as("dist_r"), dup2.as("dup2"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("mtl"), 4).as("mean_tok_len"),
-        round(col("stop_r"), 4).as("stop_ratio"),
-        round(col("dist_r"), 4).as("distinct_ratio"),
-        round(col("dup2"), 4).as("dup_2gram_frac"),
-        // first-failing-rule semantics: order matters and is part of the spec
+      .select(d.columns.map(col) ++ Seq(n.as("n_tokens"), meanTokLen.as("mtl"),
+        stopRatio.as("stop_r"), distinctRatio.as("dist_r"), dup2.as("dup2")): _*)
+      // first-failing-rule semantics: order matters and is part of the spec
+      .withColumn("reject_reason",
         when(col("n_tokens") < 25, "too_short")
           .when(col("n_tokens") > 100000, "too_long")
           .when(col("mtl") < 3.0 || col("mtl") > 10.0, "word_length")
           .when(col("stop_r") < 0.01, "low_stopword")
           .when(col("dist_r") < 0.35, "low_distinct")
           .when(col("dup2") > 0.06, "repetitive")
-          .otherwise(null).as("reject_reason"))
+          .otherwise(null))
       .withColumn("keep", col("reject_reason").isNull.cast("int"))
-      .orderBy("doc_id")
   }
+
+  def qualityFilterOf(d: DataFrame): DataFrame =
+    qualityStats(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mtl"), 4).as("mean_tok_len"),
+        round(col("stop_r"), 4).as("stop_ratio"),
+        round(col("dist_r"), 4).as("distinct_ratio"),
+        round(col("dup2"), 4).as("dup_2gram_frac"),
+        col("reject_reason"), col("keep"))
+      .orderBy("doc_id")
+
+  /** pipe1: the full training-data prep flow as ONE Catalyst plan — Gopher
+    * quality gate → exact dedup among survivors → keeper stats (predicted
+    * language + token count). Everything before the aggregation is columnar
+    * map work (tokenize, quality rules, langid, md5), then a single
+    * hash-aggregate shuffle carries only (hash, count, mins) tuples — the
+    * 100 TB shape: corpus scanned once, one shuffle, no self-joins
+    * (PlanSpec asserts the single exchange). keeper_lang / keeper_tokens
+    * are functions of the group's (identical) text, so min() is exact, not
+    * an arbitrary pick.
+    */
+  def trainingPrep(spark: SparkSession, dir: String): DataFrame =
+    qualityStats(docs(spark, dir).select(col("doc_id"), col("text")))
+      .where(col("keep") === 1)
+      .select(col("doc_id"), col("text"), col("n_tokens"), predLang.as("pred_lang"))
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"),
+        min("pred_lang").as("keeper_lang"), min("n_tokens").as("keeper_tokens"))
+      .orderBy("text_hash")
 
   /** Exact deduplication: hash-groupBy on md5(text); keeper = min doc_id.
     * At 100 TB this is the standard one-shuffle exact-dedup: hash partial

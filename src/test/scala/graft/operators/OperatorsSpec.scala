@@ -229,6 +229,28 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.exists(_.getAs[Long]("pix_hash") != 0L))
   }
 
+  test("pipe1 composes qf1 + dd1 + txt3 exactly (no drift between the fused and single ops)") {
+    import spark.implicits._
+    val out = TextOps.trainingPrep(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every kept doc is accounted for exactly once across the dup groups
+    val keptIds = TextOps.qualityFilter(spark, sf)
+      .where(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    assert(out.map(_.getAs[Long]("n_dups")).sum == keptIds.size)
+    // keepers are kept docs, and their lang/token stats equal the
+    // single-operator queries' values for the same doc
+    val langBy = TextOps.langId(spark, sf)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    val toksBy = TextOps.tokenCount(spark, sf)
+      .select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    out.foreach { r =>
+      val k = r.getAs[Long]("keeper")
+      assert(keptIds(k), s"keeper $k was not quality-kept")
+      assert(r.getAs[String]("keeper_lang") == langBy(k), s"lang drift for $k")
+      assert(r.getAs[Int]("keeper_tokens") == toksBy(k), s"token drift for $k")
+    }
+  }
+
   test("winnowing fingerprints: copies collide, shifted copies mostly overlap") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away today"

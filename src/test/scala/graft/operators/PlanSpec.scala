@@ -79,6 +79,19 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"ev4 has $hashEx hash exchanges (want 1):\n${p.take(2000)}")
   }
 
+  test("training prep pays exactly one hash exchange and never re-joins the corpus") {
+    // quality rules + langid + md5 are map-side; the exact-dedup aggregate
+    // is the only data shuffle. A join anywhere means flags were re-joined
+    // onto the source — a second corpus scan the 100 TB plan must not pay.
+    val p = plan(TextOps.trainingPrep(spark, sf))
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange") && l.contains("hashpartitioning")
+        && !l.contains("ReusedExchange"))
+    assert(hashEx == 1, s"pipe1 has $hashEx hash exchanges (want 1):\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"pipe1 gained a join:\n${p.take(2000)}")
+    assert(p.contains("partial"), "aggregate must combine map-side (partial agg)")
+  }
+
   test("token count stays inside whole-stage codegen") {
     val df = TextOps.tokenCount(spark, sf)
     df.collect() // materialize so AQE finalizes the physical plan
