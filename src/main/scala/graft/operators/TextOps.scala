@@ -61,20 +61,30 @@ object TextOps {
     "fr" -> Seq("le", "et", "les", "des"),
     "es" -> Seq("el", "y", "los", "las"))
 
-  /** The language-ID verdict as a composable Column over `text`: CJK chars
-    * force zh; otherwise the highest marker-word vote wins, ties broken in
-    * (en, de, fr, es) order. Shared by txt3 and pipe1 so the two can never
-    * drift apart.
+  /** Verdict vocabulary, indexed by [[predLangIdx]]. */
+  private[operators] val LangNames: Seq[String] = Seq("zh", "en", "de", "fr", "es")
+
+  /** The language-ID decision tree as a composable INT Column over `text`:
+    * CJK chars force zh (0); otherwise the highest marker-word vote wins,
+    * ties broken in (en, de, fr, es) order. The single decision tree both
+    * txt3 and pipe1 build on, so the two can never drift apart. Int (not
+    * string) on purpose: pipe1 carries `min(pred)` through its exact-dedup
+    * aggregate, and min over an int rides HashAggregate while min over a
+    * string falls back to SortAggregate with a per-partition map-side sort.
     */
-  private[operators] def predLang: Column = {
+  private[operators] def predLangIdx: Column = {
     val scores = LangMarkers.map { case (l, ms) => l -> markerScore(ms) }.toMap
     val cjk = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
-    when(cjk > 0, "zh")
-      .when(scores("en") >= scores("de") && scores("en") >= scores("fr") && scores("en") >= scores("es"), "en")
-      .when(scores("de") >= scores("fr") && scores("de") >= scores("es"), "de")
-      .when(scores("fr") >= scores("es"), "fr")
-      .otherwise("es")
+    when(cjk > 0, 0)
+      .when(scores("en") >= scores("de") && scores("en") >= scores("fr") && scores("en") >= scores("es"), 1)
+      .when(scores("de") >= scores("fr") && scores("de") >= scores("es"), 2)
+      .when(scores("fr") >= scores("es"), 3)
+      .otherwise(4)
   }
+
+  /** The verdict as its language name. */
+  private[operators] def predLang: Column =
+    element_at(lit(LangNames.toArray), predLangIdx + 1)
 
   /** N-gram-heuristic language ID (txt3). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
@@ -260,12 +270,18 @@ object TextOps {
     * an arbitrary pick.
     */
   def trainingPrep(spark: SparkSession, dir: String): DataFrame =
+    // measured: Par.spread here LOSES (5.6 s → 6.6 s at sf0.1) — the map
+    // work is too cheap per row for the spread shuffle to pay for itself,
+    // unlike txt4/mm2 whose per-row kernels dominate; left unspread
     qualityStats(docs(spark, dir).select(col("doc_id"), col("text")))
       .where(col("keep") === 1)
-      .select(col("doc_id"), col("text"), col("n_tokens"), predLang.as("pred_lang"))
+      .select(col("doc_id"), col("text"), col("n_tokens"), predLangIdx.as("pred_idx"))
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"),
-        min("pred_lang").as("keeper_lang"), min("n_tokens").as("keeper_tokens"))
+        min("pred_idx").as("ki"), min("n_tokens").as("keeper_tokens"))
+      .select(col("text_hash"), col("n_dups"), col("keeper"),
+        element_at(lit(LangNames.toArray), col("ki") + 1).as("keeper_lang"),
+        col("keeper_tokens"))
       .orderBy("text_hash")
 
   /** Exact deduplication: hash-groupBy on md5(text); keeper = min doc_id.

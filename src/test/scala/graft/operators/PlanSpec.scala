@@ -90,6 +90,11 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"pipe1 has $hashEx hash exchanges (want 1):\n${p.take(2000)}")
     assert(!p.contains("Join"), s"pipe1 gained a join:\n${p.take(2000)}")
     assert(p.contains("partial"), "aggregate must combine map-side (partial agg)")
+    // the keeper stats must ride HashAggregate — a string min in the agg
+    // list silently degrades to SortAggregate (a map-side sort per
+    // partition), which is why pipe1 carries the language as an int index
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"pipe1 aggregate degraded:\n${p.take(2000)}")
   }
 
   test("token count stays inside whole-stage codegen") {
