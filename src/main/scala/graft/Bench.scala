@@ -45,6 +45,7 @@ object Bench {
     "hx1_html_extract", "px1_pdf_extract",
     "dd1_dedup_exact", "dd2_ngram_jaccard", "dd3_dedup_minhash09",
     "dd4_dedup_simhash", "dd5_dedup_embedding", "dd6_dup_ngrams", "dd7_dup_clusters",
+    "dd8_dup_spans",
     "sim1_cosine_topk", "sim2_ann_ivf", "sim3_srp_lsh", "sim4_srp_banded",
     "mm1_media_meta", "mm2_image_meta", "mm3_image_detect", "mm4_decode_quarantine")
 

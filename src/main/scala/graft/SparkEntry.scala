@@ -139,6 +139,9 @@ object SparkEntry {
     // cross-doc duplicated-n-gram coverage: the linear (non-pairwise)
     // exact-substring dedup signal — one df-count shuffle, no candidate pairs
     "dd6_dup_ngrams" -> (DedupOps.dupNgramCoverage _),
+    // the ExactSubstr cut list itself: maximal duplicated token spans
+    // (gaps-and-islands over duplicated gram positions), content-md5-checked
+    "dd8_dup_spans" -> (DedupOps.dupSpans _),
     // connected-component duplicate clusters over the dd4 pair graph:
     // min-label propagation + pointer jumping, O(log chain) rounds
     "dd7_dup_clusters" -> (DedupOps.dupClusters _),
@@ -474,6 +477,32 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM g JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dd8: same gram family as dd6, then classic gaps-and-islands
+    // (i - row_number() is constant within a consecutive run); the final
+    // join back to d re-renders the span text for the content md5
+    "dd8_dup_spans" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - ${DedupOps.DupGramK - 2})) AS i
+        |  FROM d WHERE len(toks) >= ${DedupOps.DupGramK}),
+        |p AS (
+        |  SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(toks, i, i + ${DedupOps.DupGramK - 1}), ' ')) AS h
+        |  FROM idx),
+        |f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM p GROUP BY 1) WHERE df >= 2),
+        |isl AS (
+        |  SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+        |  FROM p JOIN f USING (h)),
+        |runs AS (
+        |  SELECT doc_id, min(i) AS span_start, max(i) + ${DedupOps.DupGramK - 1} AS span_end
+        |  FROM isl GROUP BY doc_id, k)
+        |SELECT r.doc_id, r.span_start, r.span_end,
+        |  r.span_end - r.span_start + 1 AS span_tokens,
+        |  md5(array_to_string(list_slice(d.toks, r.span_start, r.span_end), ' ')) AS span_md5
+        |FROM runs r JOIN d USING (doc_id)
+        |ORDER BY r.doc_id, r.span_start""".stripMargin,
     "sim3_srp_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${duckSrpBucket(0, SimilarityOps.NPlanes)} AS bucket FROM embeddings)
         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,

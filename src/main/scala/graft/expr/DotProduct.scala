@@ -121,5 +121,13 @@ object GraftFunctions {
         require(exprs.length == 2, "graft_dot(arrayA, arrayB)")
         DotProduct(exprs.head, exprs(1))
       })
+    val foldInfo = new ExpressionInfo(classOf[AsciiFold].getCanonicalName, "graft_fold")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_fold"),
+      foldInfo,
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_fold(string)")
+        AsciiFold(exprs.head)
+      })
   }
 }

@@ -335,4 +335,70 @@ object DedupOps {
         round(col("n_dup").cast("double") / col("n_grams").cast("double"), 4).as("dup_frac"))
       .orderBy("doc_id")
   }
+
+  /** Maximal duplicated token spans per document — the actual CUT LIST an
+    * exact-substring deduplicator (Lee et al. 2022, ExactSubstr) would remove,
+    * where dd6 only reports the coverage fraction. A token position i is
+    * "duplicated" when its [[DupGramK]]-gram also occurs in at least one other
+    * document; maximal runs of consecutive duplicated positions [i..j] become
+    * spans [i, j+K-1] (1-based token indices, inclusive). `span_md5` is the
+    * md5 of the span's text, so the oracle value-checks CONTENT, not just
+    * coordinates.
+    *
+    * Scale shape (all corpus-LINEAR, no candidate pairs):
+    *  1. gram-df shuffle — identical to dd6 (distinct grams per doc computed
+    *     map-side via array_distinct, md5-compressed 32-byte keys, partial
+    *     agg combines before the exchange);
+    *  2. positions⋈df equi-join on the gram hash — the df side is one row
+    *     per DUPLICATED gram (df>=2 filter pushed below the join), hot grams
+    *     are AQE skew-split like dd6;
+    *  3. one doc_id exchange for the gaps-and-islands window
+    *     (i - row_number() over (doc_id, i) is constant within a run); the
+    *     run aggregate reuses that partitioning (doc_id ⊆ group key, no 4th
+    *     exchange);
+    *  4. join back to the corpus on doc_id to render span_md5 — runs arrive
+    *     already hash-partitioned by doc_id from step 3, so only the corpus
+    *     side shuffles; an ExactSubstr CUTTER re-reads the text anyway.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansOf(docs(spark, dir))
+
+  /** [[dupSpans]] over an explicit `(doc_id, text)` frame. */
+  def dupSpansOf(d: DataFrame): DataFrame = {
+    val K = DupGramK
+    // materialize tokens once per row (TextOps.repetitionStats pitfall: HOFs
+    // over a raw split(...) re-evaluate the split per element access)
+    // Par.spread: both downstream branches md5 every k-gram of every doc —
+    // CPU-dense enough for the single-split guard to pay (unlike pipe1's
+    // cheap map, see TextOps.trainingPrep)
+    val mat = Par.spread(d
+      .where(trim(col("text")) =!= "")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .where(size(col("toks")) >= K))
+    val grams = transform(sequence(lit(1), size(col("toks")) - (K - 1)),
+      i => md5(array_join(slice(col("toks"), i, lit(K)), " ")))
+    val dfreq = mat
+      .select(col("doc_id"), explode(array_distinct(grams)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+      .select("h")
+    val pos = mat.select(col("doc_id"),
+      posexplode(grams).as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val runs = pos.join(dfreq, "h")
+      .select(col("doc_id"), col("i"),
+        (col("i") - row_number().over(w)).as("isl"))
+      .groupBy("doc_id", "isl")
+      .agg(min("i").as("span_start"), (max("i") + (K - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+    runs.join(mat, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"),
+        md5(array_join(
+          slice(col("toks"), col("span_start").cast("int"),
+            col("span_tokens").cast("int")), " ")).as("span_md5"))
+      .orderBy("doc_id", "span_start")
+  }
 }
