@@ -111,6 +111,9 @@ object SparkEntry {
     // composite training-data prep: quality gate -> exact dedup among
     // survivors -> keeper language + token count, ONE plan, one shuffle
     "pipe1_training_prep" -> (TextOps.trainingPrep _),
+    // the ExactSubstr CUT step: dd8's spans removed from each doc, cleaned
+    // text fingerprinted — the second fused pipeline stage
+    "pipe2_cut_dups" -> (DedupOps.cutDupSpans _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -565,6 +568,44 @@ object SparkEntry {
     // the composite pipeline: qf1's quality rules, dd1's dedup, txt3's
     // langid — each CTE reuses the corresponding single-operator oracle's
     // expressions verbatim, so pipe1's oracle is their composition too
+    // pipe2: dd8's runs CTE, then every token position left-joins the runs
+    // (disjoint by the islands construction, so no fanout) and the survivors
+    // re-assemble in position order for the content md5
+    "pipe2_cut_dups" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - ${DedupOps.DupGramK - 2})) AS i
+        |  FROM d WHERE len(toks) >= ${DedupOps.DupGramK}),
+        |p AS (
+        |  SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(toks, i, i + ${DedupOps.DupGramK - 1}), ' ')) AS h
+        |  FROM idx),
+        |f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM p GROUP BY 1) WHERE df >= 2),
+        |isl AS (
+        |  SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+        |  FROM p JOIN f USING (h)),
+        |runs AS (
+        |  SELECT doc_id, min(i) AS s, max(i) + ${DedupOps.DupGramK - 1} AS e
+        |  FROM isl GROUP BY doc_id, k),
+        |tok AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d),
+        |keep AS (
+        |  SELECT t.doc_id, t.i, t.toks[t.i] AS tok
+        |  FROM tok t LEFT JOIN runs r ON t.doc_id = r.doc_id AND t.i BETWEEN r.s AND r.e
+        |  WHERE r.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(coalesce(string_agg(tok, ' ' ORDER BY i), '')) AS cleaned_md5
+        |  FROM keep GROUP BY doc_id),
+        |nsp AS (SELECT doc_id, count(*) AS n_spans_cut FROM runs GROUP BY doc_id)
+        |SELECT d.doc_id, len(d.toks) AS n_tokens,
+        |  coalesce(nsp.n_spans_cut, 0) AS n_spans_cut,
+        |  len(d.toks) - coalesce(agg.n_kept, 0) AS n_cut,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN nsp USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "pipe1_training_prep" ->
       """WITH d AS (
         |  SELECT doc_id, text,

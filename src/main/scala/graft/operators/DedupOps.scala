@@ -365,16 +365,35 @@ object DedupOps {
 
   /** [[dupSpans]] over an explicit `(doc_id, text)` frame. */
   def dupSpansOf(d: DataFrame): DataFrame = {
-    val K = DupGramK
-    // materialize tokens once per row (TextOps.repetitionStats pitfall: HOFs
-    // over a raw split(...) re-evaluate the split per element access)
-    // Par.spread: both downstream branches md5 every k-gram of every doc —
-    // CPU-dense enough for the single-split guard to pay (unlike pipe1's
-    // cheap map, see TextOps.trainingPrep)
-    val mat = Par.spread(d
+    val mat = tokenized(d, DupGramK)
+    dupRunsOf(mat).join(mat, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"),
+        md5(array_join(
+          slice(col("toks"), col("span_start").cast("int"),
+            col("span_tokens").cast("int")), " ")).as("span_md5"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Non-empty docs as `(doc_id, toks)` with at least `minToks` tokens —
+    * tokens materialized once per row (TextOps.repetitionStats pitfall: HOFs
+    * over a raw split(...) re-evaluate the split per element access), spread
+    * across cores when the scan arrives single-split (Par scaladoc).
+    */
+  private def tokenized(d: DataFrame, minToks: Int): DataFrame =
+    Par.spread(d
       .where(trim(col("text")) =!= "")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .where(size(col("toks")) >= K))
+      .where(size(col("toks")) >= minToks))
+
+  /** The maximal duplicated runs `(doc_id, span_start, span_end,
+    * span_tokens)` over a [[tokenized]] frame — the shared core of dd8 (which
+    * renders each span's content md5) and pipe2 (which CUTS the spans).
+    * Par.spread in [[tokenized]] pays here: both gram branches md5 every
+    * k-gram of every doc — CPU-dense, unlike pipe1's cheap map (see
+    * TextOps.trainingPrep).
+    */
+  private def dupRunsOf(mat: DataFrame): DataFrame = {
+    val K = DupGramK
     val grams = transform(sequence(lit(1), size(col("toks")) - (K - 1)),
       i => md5(array_join(slice(col("toks"), i, lit(K)), " ")))
     val dfreq = mat
@@ -387,18 +406,55 @@ object DedupOps {
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("h"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i")
-    val runs = pos.join(dfreq, "h")
+    pos.join(dfreq, "h")
       .select(col("doc_id"), col("i"),
         (col("i") - row_number().over(w)).as("isl"))
       .groupBy("doc_id", "isl")
       .agg(min("i").as("span_start"), (max("i") + (K - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
-    runs.join(mat, "doc_id")
-      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"),
-        md5(array_join(
-          slice(col("toks"), col("span_start").cast("int"),
-            col("span_tokens").cast("int")), " ")).as("span_md5"))
-      .orderBy("doc_id", "span_start")
+  }
+
+  /** The ExactSubstr CUT step (pipe2): remove every duplicated span dd8
+    * reports from each document and emit the cleaned text's fingerprint —
+    * `(doc_id, n_tokens, n_spans_cut, n_cut, n_kept, cleaned_md5)` over every
+    * non-empty doc (docs too short to carry a k-gram pass through uncut).
+    *
+    * Scale shape: dd8's three linear shuffles, then the per-doc span arrays
+    * (collect_list reuses the window's doc_id partitioning — no extra
+    * exchange) LEFT-join the corpus on doc_id and a single HOF pass drops
+    * covered positions. Span count per doc is small (bounded by
+    * n_tokens/K runs), so the exists() probe inside the filter lambda is a
+    * short linear scan, not a blowup.
+    */
+  def cutDupSpans(spark: SparkSession, dir: String): DataFrame =
+    cutDupSpansOf(docs(spark, dir))
+
+  /** [[cutDupSpans]] over an explicit `(doc_id, text)` frame. */
+  def cutDupSpansOf(d: DataFrame): DataFrame = {
+    val all = tokenized(d, 1)
+    val spansByDoc = dupRunsOf(tokenized(d, DupGramK))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+        count(lit(1)).as("n_spans_cut"))
+    val joined = all.join(spansByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>")).as("spans"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"))
+    // one filter pass per doc: token position i+1 (1-based) survives unless
+    // some span covers it
+    val kept = filter(col("toks"), (_, i) =>
+      !exists(col("spans"), s =>
+        (i + 1) >= s.getField("span_start") && (i + 1) <= s.getField("span_end")))
+    joined
+      .select(col("doc_id"), col("toks"), col("n_spans_cut"), kept.as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("n_spans_cut"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("cleaned_md5"))
+      .orderBy("doc_id")
   }
 }

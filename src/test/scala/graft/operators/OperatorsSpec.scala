@@ -362,6 +362,32 @@ class OperatorsSpec extends SparkSpec {
       s"got=${got.mkString(", ")}\nexpected=${expected.mkString(", ")}")
   }
 
+  test("cut dup spans: planted docs come back with exactly the shared runs removed") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val runA = (1 to 10).map(i => s"a$i")
+    val c8 = (1 to 8).map(i => s"c$i")
+    val d = Seq(
+      (1L, (Seq("u1", "u2") ++ runA ++ Seq("v1", "v2")).mkString(" ")),
+      (2L, (Seq("w1") ++ runA ++ Seq("z1", "z2", "z3")).mkString(" ")),
+      (3L, "x1 x2 x3"),                    // shorter than K: passes through
+      (7L, c8.mkString(" ")),              // fully duplicated with doc 8:
+      (8L, c8.mkString(" "))               // everything cut, empty remainder
+    ).toDF("doc_id", "text")
+    val got = DedupOps.cutDupSpansOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    val expected = Array(
+      (1L, 14L, 1L, 10L, 4L, md5hex("u1 u2 v1 v2")),
+      (2L, 14L, 1L, 10L, 4L, md5hex("w1 z1 z2 z3")),
+      (3L, 3L, 0L, 0L, 3L, md5hex("x1 x2 x3")),
+      (7L, 8L, 1L, 8L, 0L, md5hex("")),
+      (8L, 8L, 1L, 8L, 0L, md5hex("")))
+    assert(got.toSeq == expected.toSeq,
+      s"got=${got.mkString(", ")}\nexpected=${expected.mkString(", ")}")
+  }
+
   test("dup spans: sf-corpus spans agree with dd6 coverage (every dup gram is inside a span)") {
     import spark.implicits._
     // dd6 counts duplicated grams per doc; dd8's spans must cover exactly
