@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Domain-level (per-`source`) corpus profiling + filter decisions — the
+  * URL/domain-filtering stage of a web-scale training-data pipeline (the C4
+  * blocklist / RefinedWeb §3.1 / Gopher §A1.2 family): before any per-document
+  * work is worth paying for, whole domains are profiled and boilerplate
+  * mirrors or low-quality farms dropped wholesale.
+  *
+  * Scale shape (the reason this is NOT `groupBy(source)` over raw docs): a
+  * domain key is LOW-cardinality — at 10^12 docs a direct
+  * `groupBy(source).agg(countDistinct(text_hash))` would funnel every
+  * distinct text of a hot domain through one reducer. Instead:
+  *   1. pre-aggregate on the HIGH-cardinality compound key `(source,
+  *      md5(text))` — spreads evenly, map-side combine collapses exact dups;
+  *      every per-doc quality signal rides along as `min(...)` over
+  *      identical-text groups (exact, the pipe1 keeper trick), so no second
+  *      scan or join back to the corpus;
+  *   2. roll up to `source` — the input is already one row per distinct
+  *      text, partial aggregation reduces each task's slice to ≤ #sources
+  *      rows before the (tiny) second shuffle.
+  * Two shuffles, both map-side combined, no skew, corpus scanned once.
+  *
+  * The keep/drop decision uses INTEGER cross-multiplication
+  * (`2*n_kept < n_docs`, `4*dup_docs > n_docs`), never a float threshold, so
+  * the verdict is bit-portable across engines. dup_docs counts docs whose
+  * exact text occurs ≥2× within the same source (mirror/boilerplate signal);
+  * this synthetic corpus has only NEAR dups, so the live rows exercise the
+  * quality axis while planted fixtures (OperatorsSpec) gate the dup axis.
+  */
+object DomainOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** ds1: per-source profile — doc/distinct-text/dup counts, token totals,
+    * Gopher-rule pass rate, reject-reason histogram, and the domain
+    * keep/drop verdict (`boilerplate` checked before `low_quality`).
+    */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    sourceStatsOf(docs(spark, dir))
+
+  /** [[sourceStats]] over an explicit `(doc_id, source, text)` frame. */
+  def sourceStatsOf(d: DataFrame): DataFrame = {
+    val st = TextOps.qualityStats(d.select(col("doc_id"), col("source"), col("text")))
+    val perText = st
+      .groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"),
+        min("n_tokens").as("t"),
+        min("keep").as("k"),
+        min("reject_idx").as("r"))
+    val hist = TextOps.RejectReasons.zipWithIndex.map { case (name, i) =>
+      sum(when(col("r") === (i + 1), col("c")).otherwise(0L)).as(s"n_$name")
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_texts"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"),
+      sum(col("c") * col("t")).as("total_tokens"),
+      sum(col("c") * col("k")).as("n_kept")) ++ hist
+    val perSource = perText
+      .groupBy("source")
+      .agg(sum("c").as("n_docs"), aggs: _*)
+    perSource
+      .select(
+        Seq(col("source"), col("n_docs"), col("n_texts"), col("dup_docs"),
+          col("total_tokens"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_docs"), 4).as("kept_frac"),
+          round(col("dup_docs").cast("double") / col("n_docs"), 4).as("dup_frac")) ++
+          TextOps.RejectReasons.map(n => col(s"n_$n")) ++ Seq(
+          when(col("dup_docs") * 4 > col("n_docs"), "boilerplate")
+            .when(col("n_kept") * 2 < col("n_docs"), "low_quality")
+            .otherwise(null).as("drop_reason"),
+          (col("dup_docs") * 4 <= col("n_docs") && col("n_kept") * 2 >= col("n_docs"))
+            .cast("int").as("keep")): _*)
+      .orderBy("source")
+  }
+}

@@ -237,17 +237,29 @@ object TextOps {
     mat
       .select(d.columns.map(col) ++ Seq(n.as("n_tokens"), meanTokLen.as("mtl"),
         stopRatio.as("stop_r"), distinctRatio.as("dist_r"), dup2.as("dup2")): _*)
-      // first-failing-rule semantics: order matters and is part of the spec
+      // first-failing-rule semantics: order matters and is part of the spec.
+      // The verdict is an INT index first (0 = keep) so aggregations over it
+      // (ds1 groups by text hash carrying min(reject_idx)) stay in
+      // HashAggregate — min over a nullable string demotes the whole agg to
+      // SortAggregate (the pipe1 keeper_lang lesson); the name column is a
+      // display decode of the index.
+      .withColumn("reject_idx",
+        when(col("n_tokens") < 25, 1)
+          .when(col("n_tokens") > 100000, 2)
+          .when(col("mtl") < 3.0 || col("mtl") > 10.0, 3)
+          .when(col("stop_r") < 0.01, 4)
+          .when(col("dist_r") < 0.35, 5)
+          .when(col("dup2") > 0.06, 6)
+          .otherwise(0))
       .withColumn("reject_reason",
-        when(col("n_tokens") < 25, "too_short")
-          .when(col("n_tokens") > 100000, "too_long")
-          .when(col("mtl") < 3.0 || col("mtl") > 10.0, "word_length")
-          .when(col("stop_r") < 0.01, "low_stopword")
-          .when(col("dist_r") < 0.35, "low_distinct")
-          .when(col("dup2") > 0.06, "repetitive")
-          .otherwise(null))
-      .withColumn("keep", col("reject_reason").isNull.cast("int"))
+        when(col("reject_idx") === 0, lit(null).cast("string"))
+          .otherwise(element_at(lit(RejectReasons.toArray), col("reject_idx"))))
+      .withColumn("keep", (col("reject_idx") === 0).cast("int"))
   }
+
+  /** Reject-rule names, indexed by `reject_idx` (1-based; 0 = keep). */
+  val RejectReasons: Seq[String] =
+    Seq("too_short", "too_long", "word_length", "low_stopword", "low_distinct", "repetitive")
 
   def qualityFilterOf(d: DataFrame): DataFrame =
     qualityStats(d.select(col("doc_id"), col("text")))

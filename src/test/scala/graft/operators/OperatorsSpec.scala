@@ -537,6 +537,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ((Some("low_distinct"), 0)))
   }
 
+  test("source stats: planted domains hit both drop axes, boilerplate wins precedence") {
+    import spark.implicits._
+    // distinct passing texts (60 tokens, stopword-rich, distinct, no dup bigrams)
+    def ok(k: Int) = (1 to 30).map(i => s"the w${k}x$i").mkString(" ")
+    val d = Seq(
+      // good: 3 distinct passing docs -> keep
+      (1L, "good", ok(1)), (2L, "good", ok(2)), (3L, "good", ok(3)),
+      // mirror: 3 identical passing copies + 1 distinct -> dup_docs=3 of 4 -> boilerplate
+      (4L, "mirror", ok(9)), (5L, "mirror", ok(9)), (6L, "mirror", ok(9)), (7L, "mirror", ok(8)),
+      // spam: 3 DISTINCT failing docs + 1 passing -> n_kept=1 of 4 -> low_quality
+      (8L, "spam", "too short 1"), (9L, "spam", "too short 2"), (10L, "spam", "too short 3"),
+      (11L, "spam", ok(5)),
+      // both axes fail -> boilerplate checked first
+      (12L, "both", "dup short"), (13L, "both", "dup short"), (14L, "both", "dup short"),
+      (15L, "both", "other short"))
+      .toDF("doc_id", "source", "text")
+    val out = DomainOps.sourceStatsOf(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def row(s: String) = {
+      val r = out(s)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6), r.getDouble(7), r.getLong(8), Option(r.getString(14)), r.getInt(15))
+    }
+    //           (n_docs, n_texts, dup_docs, total_tokens, n_kept, kept_frac, dup_frac, n_too_short, drop, keep)
+    assert(row("good") == ((3L, 3L, 0L, 180L, 3L, 1.0, 0.0, 0L, None, 1)), s"good=${row("good")}")
+    assert(row("mirror") == ((4L, 2L, 3L, 240L, 4L, 1.0, 0.75, 0L, Some("boilerplate"), 0)), s"mirror=${row("mirror")}")
+    assert(row("spam") == ((4L, 4L, 0L, 69L, 1L, 0.25, 0.0, 3L, Some("low_quality"), 0)), s"spam=${row("spam")}")
+    assert(row("both") == ((4L, 2L, 3L, 8L, 0L, 0.0, 0.75, 4L, Some("boilerplate"), 0)), s"both=${row("both")}")
+  }
+
   test("quality filter: null text behaves as empty text (cross-engine contract)") {
     import spark.implicits._
     // without the tokensOf coalesce guard, Spark's size(null) = -1 while

@@ -97,6 +97,23 @@ class PlanSpec extends SparkSpec {
       s"pipe1 aggregate degraded:\n${p.take(2000)}")
   }
 
+  test("source stats pays two hash exchanges, both HashAggregate, no join") {
+    // the domain rollup must be the two-level shape: (source, md5) pre-agg
+    // on the high-cardinality compound key, then the tiny per-source pass —
+    // a direct groupBy(source) with countDistinct would add an Expand +
+    // third exchange, and any Join means per-doc signals were re-joined
+    // instead of riding the first aggregate
+    val p = plan(DomainOps.sourceStats(spark, sf))
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange") && l.contains("hashpartitioning")
+        && !l.contains("ReusedExchange"))
+    assert(hashEx == 2, s"ds1 has $hashEx hash exchanges (want 2):\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"ds1 gained a join:\n${p.take(2000)}")
+    assert(!p.contains("Expand"), s"ds1 gained a countDistinct Expand:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"ds1 aggregate degraded (string min in agg list?):\n${p.take(2000)}")
+  }
+
   test("token count stays inside whole-stage codegen") {
     val df = TextOps.tokenCount(spark, sf)
     df.collect() // materialize so AQE finalizes the physical plan
