@@ -117,6 +117,9 @@ object SparkEntry {
     // domain-level profiling + filter decision (C4/RefinedWeb family):
     // per-source doc/dup counts, Gopher pass rate, reject histogram, verdict
     "ds1_source_stats" -> (DomainOps.sourceStats _),
+    // benchmark decontamination: per-train-doc K-gram collisions against the
+    // (broadcast) eval-set gram set — the GPT-3 appendix-C leakage stage
+    "ctn1_decontaminate" -> (ContaminationOps.decontaminate _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -609,6 +612,36 @@ object SparkEntry {
         |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
         |FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN nsp USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // ctn1: grams CTE shared with dd6/dd8's shape; eval side = doc_id % 97,
+    // distinct eval grams LEFT-joined to training gram positions, per-doc
+    // rollup via a doc_id LEFT join for totality over short docs
+    "ctn1_decontaminate" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |g AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) >= ${DedupOps.DupGramK}
+        |         THEN list_transform(range(1, len(toks) - ${DedupOps.DupGramK - 2}),
+        |           i -> md5(array_to_string(list_slice(toks, i, i + ${DedupOps.DupGramK - 1}), ' ')))
+        |         ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM d),
+        |e AS (
+        |  SELECT DISTINCT unnest(grams) AS h FROM g WHERE doc_id % ${ContaminationOps.EvalMod} = 0),
+        |t AS (
+        |  SELECT doc_id, unnest(grams) AS h FROM g WHERE doc_id % ${ContaminationOps.EvalMod} <> 0),
+        |c AS (
+        |  SELECT t.doc_id, sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+        |  FROM t LEFT JOIN e ON t.h = e.h GROUP BY 1)
+        |SELECT g.doc_id, g.n_tokens, len(g.grams) AS n_grams,
+        |  coalesce(c.n_cont, 0) AS n_contaminated,
+        |  CASE WHEN len(g.grams) = 0 THEN 0.0
+        |       ELSE round(CAST(coalesce(c.n_cont, 0) AS DOUBLE) / len(g.grams), 4)
+        |       END AS contamination_frac,
+        |  CASE WHEN coalesce(c.n_cont, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM g LEFT JOIN c USING (doc_id)
+        |WHERE g.doc_id % ${ContaminationOps.EvalMod} <> 0
+        |ORDER BY g.doc_id""".stripMargin,
     // ds1: pipe1's quality CTEs verbatim, then the first-failing rule as an
     // index, the (source, md5) pre-aggregation, and the per-source rollup —
     // the keep/drop verdict is integer cross-multiplication in both engines

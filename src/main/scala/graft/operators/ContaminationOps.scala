@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data pipeline stage that removes
+  * (or flags) training documents overlapping an evaluation set, so measured
+  * model quality is not leakage (the GPT-3 appendix-C / Lee et al. 2022 §6.2
+  * n-gram collision procedure: a training doc is contaminated if it shares
+  * any K-gram with an eval document).
+  *
+  * The eval set here is carved deterministically from the corpus itself
+  * (`doc_id % EvalMod == 0` — no external data, per the build rules); swap
+  * `evalSide` for a real benchmark table in production.
+  *
+  * Scale shape: eval suites are TINY next to a training corpus (10^5-10^6
+  * grams vs 10^12 docs), so the eval gram set is built once (distinct over
+  * the small side) and explicit-`broadcast` hash-joined against the exploded
+  * training grams — the corpus side never shuffles for the join; the only
+  * corpus-keyed exchange is the per-doc rollup aggregation. K reuses
+  * [[DedupOps.DupGramK]] (md5'd 8-token grams, the dd6/dd8 convention).
+  */
+object ContaminationOps {
+
+  /** Eval-set selector: every EvalMod-th doc_id. */
+  final val EvalMod = 97L
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** ctn1: per TRAINING doc (eval docs excluded from the output), the K-gram
+    * collision profile against the eval set —
+    * `(doc_id, n_tokens, n_grams, n_contaminated, contamination_frac,
+    * contaminated)`. `n_contaminated` counts gram POSITIONS (occurrences,
+    * not distinct grams); docs too short to carry a K-gram pass through with
+    * zero grams and a clean verdict.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(docs(spark, dir))
+
+  /** [[decontaminate]] over an explicit `(doc_id, text)` frame. */
+  def decontaminateOf(d: DataFrame): DataFrame = {
+    val K = DedupOps.DupGramK
+    val mat = DedupOps.tokenized(d, 1)
+    val grams = when(size(col("toks")) >= K,
+      transform(sequence(lit(1), size(col("toks")) - (K - 1)),
+        i => md5(array_join(slice(col("toks"), i, lit(K)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val evalGrams = mat
+      .where(col("doc_id") % EvalMod === 0)
+      .select(explode(grams).as("h"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val train = mat
+      .where(col("doc_id") % EvalMod =!= 0)
+      // two selects: materialize the gram array BEFORE the Generate so the
+      // non-generator columns are not hoisted above it and re-evaluated per
+      // exploded row (the txt5 Generate-hoist pitfall); explode_outer keeps
+      // one null-gram row for short docs so totality needs no second scan
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"), grams.as("g"))
+      .select(col("doc_id"), col("n_tokens"), size(col("g")).cast("long").as("n_grams"),
+        explode_outer(col("g")).as("h"))
+    train
+      .join(broadcast(evalGrams), Seq("h"), "left")
+      .groupBy("doc_id", "n_tokens", "n_grams")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"), col("n_contaminated"),
+        when(col("n_grams") === 0, 0.0)
+          .otherwise(round(col("n_contaminated").cast("double") / col("n_grams"), 4))
+          .as("contamination_frac"),
+        (col("n_contaminated") > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+}

@@ -379,7 +379,7 @@ object DedupOps {
     * over a raw split(...) re-evaluate the split per element access), spread
     * across cores when the scan arrives single-split (Par scaladoc).
     */
-  private def tokenized(d: DataFrame, minToks: Int): DataFrame =
+  private[operators] def tokenized(d: DataFrame, minToks: Int): DataFrame =
     Par.spread(d
       .where(trim(col("text")) =!= "")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))

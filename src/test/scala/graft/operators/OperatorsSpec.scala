@@ -567,6 +567,26 @@ class OperatorsSpec extends SparkSpec {
     assert(row("both") == ((4L, 2L, 3L, 8L, 0L, 0.0, 0.75, 4L, Some("boilerplate"), 0)), s"both=${row("both")}")
   }
 
+  test("decontamination: planted eval overlap counted per gram position, eval docs excluded") {
+    import spark.implicits._
+    val e = (1 to 12).map(i => s"e$i")                 // eval doc: grams (e1..e8)..(e5..e12)
+    val d = Seq(
+      (97L, e.mkString(" ")),                          // eval (97 % 97 == 0)
+      (194L, (1 to 9).map(i => s"f$i").mkString(" ")), // second eval doc
+      // train doc embedding e2..e11: grams 3..5 of 6 collide with eval
+      (10L, (Seq("x1", "x2") ++ e.slice(1, 11) ++ Seq("y1")).mkString(" ")),
+      (11L, (1 to 10).map(i => s"c$i").mkString(" ")), // clean, 3 grams
+      (12L, "a b c d e"))                              // short: zero grams
+      .toDF("doc_id", "text")
+    val got = ContaminationOps.decontaminateOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))
+    val expected = Array(
+      (10L, 13L, 6L, 3L, 0.5, 1),
+      (11L, 10L, 3L, 0L, 0.0, 0),
+      (12L, 5L, 0L, 0L, 0.0, 0))
+    assert(got.toSeq == expected.toSeq, s"got=${got.mkString(", ")}")
+  }
+
   test("quality filter: null text behaves as empty text (cross-engine contract)") {
     import spark.implicits._
     // without the tokensOf coalesce guard, Spark's size(null) = -1 while

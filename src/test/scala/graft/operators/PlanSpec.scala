@@ -114,6 +114,14 @@ class PlanSpec extends SparkSpec {
       s"ds1 aggregate degraded (string min in agg list?):\n${p.take(2000)}")
   }
 
+  test("decontamination broadcasts the eval grams; corpus never shuffles for the join") {
+    // the eval suite is tiny by construction — if the gram join ever becomes
+    // a SortMergeJoin, the full training corpus pays a gram-keyed shuffle
+    val p = plan(ContaminationOps.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"ctn1 lost the broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), s"ctn1 shuffles the corpus for the join:\n${p.take(2000)}")
+  }
+
   test("token count stays inside whole-stage codegen") {
     val df = TextOps.tokenCount(spark, sf)
     df.collect() // materialize so AQE finalizes the physical plan
