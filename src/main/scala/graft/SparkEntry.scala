@@ -120,6 +120,9 @@ object SparkEntry {
     // benchmark decontamination: per-train-doc K-gram collisions against the
     // (broadcast) eval-set gram set — the GPT-3 appendix-C leakage stage
     "ctn1_decontaminate" -> (ContaminationOps.decontaminate _),
+    // sequence-packing offsets via the two-level distributed prefix sum; the
+    // oracle's flat global-window cumsum value-checks the decomposition
+    "pack1_sequence_offsets" -> (PackingOps.sequenceOffsets _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -612,6 +615,24 @@ object SparkEntry {
         |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
         |FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN nsp USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // pack1: the oracle computes the offsets with a FLAT global-order window
+    // cumsum — equality proves the engine's two-level bucket decomposition
+    // reproduces the sequential prefix sum exactly
+    "pack1_sequence_offsets" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS global_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, global_offset,
+        |  global_offset // ${PackingOps.SeqLen} AS seq_id,
+        |  global_offset % ${PackingOps.SeqLen} AS offset_in_seq
+        |FROM o ORDER BY doc_id""".stripMargin,
     // ctn1: grams CTE shared with dd6/dd8's shape; eval side = doc_id % 97,
     // distinct eval grams LEFT-joined to training gram positions, per-doc
     // rollup via a doc_id LEFT join for totality over short docs

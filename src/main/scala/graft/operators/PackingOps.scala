@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: lay every document's tokens into
+  * one concatenated stream (doc_id order) and report, per doc, its global
+  * token offset and which fixed-length training sequence it starts in — the
+  * GPT-convention packing layout (docs concatenated, chopped every `SeqLen`
+  * tokens).
+  *
+  * The global offset is a prefix sum over the corpus in doc_id order. The
+  * naive Spark form — `sum(n_tokens).over(Window.orderBy("doc_id"))` — is a
+  * SINGLE-PARTITION window: the whole corpus serializes through one task,
+  * the textbook 100 TB scale-killer. Instead, the classic two-level
+  * distributed prefix sum:
+  *   1. bucket docs by `doc_id div bucketSize` (data-derived, so the layout
+  *      is deterministic at any parallelism) and aggregate per-bucket token
+  *      sums — one map-side-combined shuffle;
+  *   2. prefix-sum the BUCKET sums — a single-partition window over only
+  *      `n_docs / bucketSize` tiny rows (at 10^12 docs and bucketSize 10^6,
+  *      10^6 rows ≈ 16 MB: driver/broadcast scale by construction);
+  *   3. broadcast the bucket offsets back and window WITHIN each bucket
+  *      (partitionBy bucket — parallel across buckets).
+  * The DuckDB oracle computes the same offsets with a flat global-order
+  * window, so the driver value-check proves the two-level decomposition
+  * exactly equals the sequential prefix sum.
+  */
+object PackingOps {
+
+  /** Tokens per packed training sequence. */
+  final val SeqLen = 2048L
+
+  /** Docs per offset bucket (level-1 granularity). */
+  final val DefaultBucketSize = 1L << 20
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** pack1: `(doc_id, n_tokens, global_offset, seq_id, offset_in_seq)` for
+    * every document (empty docs carry 0 tokens and pack at their
+    * predecessor's end). `seq_id` is the sequence holding the doc's FIRST
+    * token; a doc may spill into later sequences.
+    */
+  def sequenceOffsets(spark: SparkSession, dir: String): DataFrame =
+    sequenceOffsetsOf(docs(spark, dir))
+
+  /** [[sequenceOffsets]] over an explicit `(doc_id, text)` frame. */
+  def sequenceOffsetsOf(d: DataFrame, bucketSize: Long = DefaultBucketSize): DataFrame = {
+    val nToks = when(trim(col("text")) === "", 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val base = d.select(col("doc_id"), nToks.as("n_tokens"),
+      expr(s"doc_id div $bucketSize").as("bkt"))
+    val bucketW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = base
+      .groupBy("bkt").agg(sum("n_tokens").as("bsum"))
+      .withColumn("boff", coalesce(sum("bsum").over(bucketW), lit(0L)))
+      .select("bkt", "boff")
+    val inBucketW = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(bucketOffsets), "bkt")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("boff") + coalesce(sum("n_tokens").over(inBucketW), lit(0L)))
+          .as("global_offset"))
+      .select(col("doc_id"), col("n_tokens"), col("global_offset"),
+        expr(s"global_offset div $SeqLen").as("seq_id"),
+        pmod(col("global_offset"), lit(SeqLen)).as("offset_in_seq"))
+      .orderBy("doc_id")
+  }
+}

@@ -587,6 +587,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq, s"got=${got.mkString(", ")}")
   }
 
+  test("sequence packing: two-level prefix sum equals the sequential cumsum across buckets") {
+    import spark.implicits._
+    // bucketSize=4 forces multiple buckets; sparse ids + an empty doc
+    val d = Seq(
+      (0L, "a b c"), (1L, "d e"), (3L, ""),            // bucket 0: 3, 2, 0
+      (5L, (1 to 2050).map(i => s"t$i").mkString(" ")),// bucket 1: crosses a seq boundary
+      (7L, "x"), (8L, "y z"), (12L, "w"))              // buckets 1, 2, 3
+      .toDF("doc_id", "text")
+    val got = PackingOps.sequenceOffsetsOf(d, bucketSize = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // sequential recompute
+    val toks = Seq(0L -> 3L, 1L -> 2L, 3L -> 0L, 5L -> 2050L, 7L -> 1L, 8L -> 2L, 12L -> 1L)
+    var off = 0L
+    val expected = toks.map { case (id, n) =>
+      val r = (id, n, off, off / PackingOps.SeqLen, off % PackingOps.SeqLen)
+      off += n
+      r
+    }
+    assert(got.toSeq == expected, s"got=${got.mkString(", ")}")
+    // the boundary-crossing doc starts in seq 0; its successor starts in seq 1
+    assert(got.find(_._1 == 7L).get._4 == 1L)
+  }
+
+  test("sequence packing: sf corpus offsets equal the naive sequential fold") {
+    val got = PackingOps.sequenceOffsetsOf(
+      spark.read.parquet(s"$sf/documents.parquet"), bucketSize = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var off = 0L
+    got.sortBy(_._1).foreach { case (id, n, o) =>
+      assert(o == off, s"doc $id: offset $o != sequential $off")
+      off += n
+    }
+  }
+
   test("quality filter: null text behaves as empty text (cross-engine contract)") {
     import spark.implicits._
     // without the tokensOf coalesce guard, Spark's size(null) = -1 while

@@ -122,6 +122,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"ctn1 shuffles the corpus for the join:\n${p.take(2000)}")
   }
 
+  test("sequence packing never windows the corpus through a single partition") {
+    // the corpus-side window must be partitioned by bucket; the only
+    // SinglePartition exchange allowed is the tiny bucket-sums side
+    val p = plan(PackingOps.sequenceOffsets(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"pack1 lost the broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), s"pack1 shuffles the corpus for the join:\n${p.take(2000)}")
+    val single = p.linesIterator.count(l => l.contains("Exchange SinglePartition"))
+    assert(single <= 1, s"pack1 has $single SinglePartition exchanges (want <=1, bucket sums only):\n${p.take(2500)}")
+    assert(p.contains("hashpartitioning"), "corpus window must partition by bucket")
+  }
+
   test("token count stays inside whole-stage codegen") {
     val df = TextOps.tokenCount(spark, sf)
     df.collect() // materialize so AQE finalizes the physical plan
