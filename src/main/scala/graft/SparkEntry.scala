@@ -123,6 +123,9 @@ object SparkEntry {
     // sequence-packing offsets via the two-level distributed prefix sum; the
     // oracle's flat global-window cumsum value-checks the decomposition
     "pack1_sequence_offsets" -> (PackingOps.sequenceOffsets _),
+    // per-cluster canonical representative (longest member, tie min doc_id)
+    // over dd7's clusters — the post-clustering keeper-selection stage
+    "pipe3_cluster_keeper" -> (DedupOps.clusterKeeper _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -435,6 +438,37 @@ object SparkEntry {
         |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
         |FROM lab l JOIN cs USING (cluster_id)
         |ORDER BY l.doc_id""".stripMargin,
+    // pipe3: dd7's reachability CTEs, then keeper = row_number 1 under
+    // (n_tokens DESC, doc_id) per cluster — the deterministic argmax the
+    // Spark side encodes as max(struct(n_tokens, -doc_id))
+    "pipe3_cluster_keeper" ->
+      s"""WITH RECURSIVE $duckSimHashCtes,
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.s, b.s)) <= ${DedupOps.MaxHamming}),
+        |edges AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.ev FROM reach r JOIN edges e ON r.b = e.eu),
+        |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        |  FROM documents),
+        |j AS (
+        |  SELECT l.cluster_id, l.doc_id, t.n_tokens,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |                       ORDER BY t.n_tokens DESC, l.doc_id) AS rn
+        |  FROM lab l JOIN tk t USING (doc_id)),
+        |m AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1)
+        |SELECT j.cluster_id, m.n_members, j.doc_id AS keeper,
+        |  j.n_tokens AS keeper_tokens
+        |FROM j JOIN m USING (cluster_id) WHERE j.rn = 1
+        |ORDER BY j.cluster_id""".stripMargin,
     "txt4_fingerprints" ->
       s"""WITH hs AS (
         |  SELECT doc_id,

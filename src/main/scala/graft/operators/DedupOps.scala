@@ -221,11 +221,13 @@ object DedupOps {
     * oracle-checked pair set); any pair source (MinHash, embedding) plugs in
     * unchanged.
     */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersOf(docs(spark, dir))
+
+  /** [[dupClusters]] over an explicit `(doc_id, text)` frame. */
+  def dupClustersOf(d: DataFrame): DataFrame =
     clustersFromPairs(d.select(col("doc_id")),
       simHashPairsUnsorted(d).select("doc_a", "doc_b"))
-  }
 
   /** Connected components over an undirected pair list via iterative
     * min-label propagation with pointer jumping. Each round:
@@ -293,6 +295,35 @@ object DedupOps {
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         (col("doc_id") === col("lbl")).cast("int").as("is_keeper"))
       .orderBy("doc_id")
+  }
+
+  /** pipe3: canonical-representative selection per near-dup cluster — the
+    * step a dedup pipeline runs AFTER clustering (dd7): within each cluster
+    * keep the member with the most tokens (ties → min doc_id), the
+    * longest-member convention. `(cluster_id, n_members, keeper,
+    * keeper_tokens)`, singletons included (they keep themselves).
+    *
+    * Scale shape: dd7's machinery plus one co-keyed doc_id join and one
+    * cluster_id aggregation. The argmax rides a single `max(struct(...))`
+    * (doc_id negated for the min tie-break) so the agg stays HashAggregate
+    * with map-side combine — no per-cluster window/sort.
+    */
+  def clusterKeeper(spark: SparkSession, dir: String): DataFrame =
+    clusterKeeperOf(docs(spark, dir))
+
+  /** [[clusterKeeper]] over an explicit `(doc_id, text)` frame. */
+  def clusterKeeperOf(d: DataFrame): DataFrame = {
+    val nToks = when(trim(col("text")) === "", 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    dupClustersOf(d)
+      .join(d.select(col("doc_id"), nToks.as("n_tokens")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.nid")).as("keeper"),
+        col("best.n_tokens").as("keeper_tokens"))
+      .orderBy("cluster_id")
   }
 
   /** Token-k-gram length for cross-document duplicate-substring coverage. */

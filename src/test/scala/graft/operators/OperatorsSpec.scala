@@ -520,6 +520,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(1) == 1L && r.getLong(2) == n))
   }
 
+  test("cluster keeper: longest member wins, exact-dup ties break to min doc_id") {
+    import spark.implicits._
+    // NOT sequential-suffix tokens (p1..p40): their portable-hash parities
+    // are so correlated that unrelated texts land at hamming 0. These two
+    // word-salad texts measure hamming 28 apart, and t2 vs t2+" zz" is 0.
+    val t1 = "elit amet tempor magna dolor lorem magna sed elit adipiscing magna magna " +
+      "incididunt amet elit amet aliqua incididunt lorem dolor consectetur ipsum do lorem " +
+      "sed magna incididunt labore incididunt dolore amet tempor sit ipsum amet magna " +
+      "adipiscing sed labore do"
+    val t2 = "clamor ember jetty clamor flume brisk ember flume clamor flume knight kelp " +
+      "brisk grotto kelp kelp zephyr jetty xylem flume grotto harbor jovial harbor jetty " +
+      "brisk ember kelp flume flume quartz harbor grotto knight grotto jetty flume xylem " +
+      "xylem quartz quartz dusk jetty grotto dusk quartz brisk inlet quartz clamor kelp " +
+      "jovial zephyr xylem clamor inlet clamor jetty quartz zephyr"
+    val d = Seq(
+      (10L, t1), (11L, t1),          // exact dups: equal length -> keeper 10
+      (20L, t2), (21L, t2 + " zz"),  // near dups: 21 is one token longer
+      (30L, "lone r1 r2 r3 r4"))     // singleton keeps itself
+      .toDF("doc_id", "text")
+    // precondition: the one-token edit stays within the SimHash pairing gate
+    val pairs = DedupOps.dupClustersOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs(21L) == 20L, s"fixture drifted: 20/21 not clustered ($pairs)")
+    val got = DedupOps.clusterKeeperOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = Array(
+      (10L, 2L, 10L, 40L),
+      (20L, 2L, 21L, 61L),
+      (30L, 1L, 30L, 5L))
+    assert(got.toSeq == expected.toSeq, s"got=${got.mkString(", ")}")
+  }
+
   test("quality filter: first-failing-rule semantics on planted docs") {
     import spark.implicits._
     val normal = (1 to 30).map(i => s"the word$i").mkString(" ")   // 60 tokens, stopwords, distinct
