@@ -126,6 +126,9 @@ object SparkEntry {
     // per-cluster canonical representative (longest member, tie min doc_id)
     // over dd7's clusters — the post-clustering keeper-selection stage
     "pipe3_cluster_keeper" -> (DedupOps.clusterKeeper _),
+    // deterministic train/val/test split by portable doc_id hash: row-local
+    // (reshuffle/rerun/growth-stable), pure map, zero data shuffles
+    "ds2_hash_split" -> (DomainOps.hashSplit _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -649,6 +652,22 @@ object SparkEntry {
         |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
         |FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN nsp USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // ds2: the portable polynomial hash over the doc_id string, folded in
+    // DuckDB with the same left-to-right arithmetic
+    "ds2_hash_split" ->
+      s"""SELECT doc_id, source, b AS bucket,
+        |  CASE WHEN b < ${DomainOps.TestPermille} THEN 'test'
+        |       WHEN b < ${DomainOps.ValPermille} THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, c) -> (a * ${DedupOps.HashB1} + c) % ${DedupOps.HashM1})
+        |      % ${DomainOps.SplitBuckets} AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // pack1: the oracle computes the offsets with a FLAT global-order window
     // cumsum — equality proves the engine's two-level bucket decomposition
     // reproduces the sequential prefix sum exactly

@@ -35,6 +35,37 @@ object DomainOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Permille buckets for [[hashSplit]]. */
+  final val SplitBuckets = 1000L
+  /** test = buckets [0, TestPermille); val = [TestPermille, ValPermille). */
+  final val TestPermille = 10L
+  final val ValPermille = 60L
+
+  /** ds2: deterministic train/val/test assignment by portable hash of the
+    * doc_id — `(doc_id, source, bucket, split)`. The split survives
+    * reshuffles, reruns, engine changes, and corpus growth (a doc's
+    * assignment never depends on other rows): the property that matters at
+    * 10^12 docs, where a random() split is unreproducible and a sort-based
+    * one is a global shuffle. Pure map, zero data shuffles (the qf1 rule);
+    * the polynomial rolling hash is the repo's portable-hash convention so
+    * DuckDB reproduces every bucket exactly.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplitOf(docs(spark, dir))
+
+  /** [[hashSplit]] over an explicit frame carrying `doc_id, source`. */
+  def hashSplitOf(d: DataFrame): DataFrame = {
+    val bucket = pmod(
+      DedupOps.polyHash(col("doc_id").cast("string"), DedupOps.HashB1, DedupOps.HashM1),
+      lit(SplitBuckets))
+    d.select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TestPermille, "test")
+          .when(col("bucket") < ValPermille, "val")
+          .otherwise("train"))
+      .orderBy("doc_id")
+  }
+
   /** ds1: per-source profile — doc/distinct-text/dup counts, token totals,
     * Gopher-rule pass rate, reject-reason histogram, and the domain
     * keep/drop verdict (`boilerplate` checked before `low_quality`).

@@ -552,6 +552,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq, s"got=${got.mkString(", ")}")
   }
 
+  test("hash split: deterministic, row-local, fractions near the permille targets") {
+    import spark.implicits._
+    val d = (0L until 5000L).map(i => (i, s"src${i % 7}")).toDF("doc_id", "source")
+    val a = DomainOps.hashSplitOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    // rerun on a reshuffled frame: assignments must be identical (row-local)
+    val b = DomainOps.hashSplitOf(d.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(a.toSeq == b.toSeq, "split not stable under reshuffle")
+    val frac = a.groupBy(_._3).view.mapValues(_.length / 5000.0).toMap
+    assert(math.abs(frac("test") - 0.01) < 0.005, s"test frac ${frac("test")}")
+    assert(math.abs(frac("val") - 0.05) < 0.012, s"val frac ${frac("val")}")
+    assert(frac("train") > 0.92)
+    // buckets and thresholds agree
+    a.foreach { case (_, bkt, s) =>
+      val want = if (bkt < DomainOps.TestPermille) "test"
+        else if (bkt < DomainOps.ValPermille) "val" else "train"
+      assert(s == want)
+    }
+  }
+
   test("quality filter: first-failing-rule semantics on planted docs") {
     import spark.implicits._
     val normal = (1 to 30).map(i => s"the word$i").mkString(" ")   // 60 tokens, stopwords, distinct
