@@ -48,7 +48,7 @@ object Bench {
     "dd1_dedup_exact", "dd2_ngram_jaccard", "dd3_dedup_minhash09",
     "dd4_dedup_simhash", "dd5_dedup_embedding", "dd6_dup_ngrams", "dd7_dup_clusters",
     "dd8_dup_spans",
-    "sim1_cosine_topk", "sim2_ann_ivf", "sim3_srp_lsh", "sim4_srp_banded",
+    "sim1_cosine_topk", "sim2_ann_ivf", "sim3_srp_lsh", "sim4_srp_banded", "sim5_semdedup",
     "mm1_media_meta", "mm2_image_meta", "mm3_image_detect", "mm4_decode_quarantine")
 
   /** Fixed single-thread spin (800M xorshift steps), timed: a load-independent

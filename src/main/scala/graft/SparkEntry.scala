@@ -166,6 +166,10 @@ object SparkEntry {
     // similarity search
     "sim1_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim2_ann_ivf" -> (SimilarityOps.annIvf _),
+    // SemDeDup: k-means cells -> within-cell cosine pairs -> semantic-dup
+    // groups -> keep the member farthest from its centroid; bit-deterministic
+    // like sim2, so the single-threaded oracle side table value-checks it
+    "sim5_semdedup" -> (SimilarityOps.semDedup _),
     // SRP-LSH bucketed cosine near-dup: dd5's sub-quadratic regime, with a
     // bucket the DuckDB oracle recomputes from the same plane literals
     // (full value check of the LSH path)
@@ -216,6 +220,13 @@ object SparkEntry {
       s"""SELECT q_id, n_id, cos, rank
         |FROM read_parquet('${SimilarityOps.oracleTable(sfDir, nEmbTable, SimilarityOps.NCells, SimilarityOps.NProbe)}/*.parquet')
         |ORDER BY q_id, rank""".stripMargin,
+    // sim5: same deterministic-index argument as sim2 — the side table is an
+    // independent single-threaded recompute (own k-means loop, union-find
+    // instead of label propagation, same fixpoint)
+    "sim5_semdedup" ->
+      s"""SELECT vec_id, cell, group_id, group_size, keep, centroid_cos
+        |FROM read_parquet('${SimilarityOps.semOracleTable(sfDir, nEmbTable)}/*.parquet')
+        |ORDER BY vec_id""".stripMargin,
     // extraction value checks: the Spark pipeline's flattened spans vs the
     // single-threaded oracle's side parquet (see ExtractOps scaladoc)
     "x1_extract_spans" ->

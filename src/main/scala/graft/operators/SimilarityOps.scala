@@ -392,40 +392,70 @@ object SimilarityOps {
     */
   def annIvfOracleRows(spark: SparkSession, dir: String,
                        nCells: Int = NCells, nProbe: Int = NProbe): Seq[(Long, Long, Double, Int)] = {
+    val vecs = oracleVecs(spark, dir)
+    val centroids = oracleCentroids(vecs, nCells)
+    def score(v: Array[Double], c: Array[Double]): Double = oracleScore(v, c)
+    val indexed = oracleAssign(vecs, centroids, nProbe)
+    val byId = vecs.toMap
+    vecs.filter(_._1 < NumQueries).toSeq.flatMap { case (qId, qVec) =>
+      val probes = indexed(qId)._2.toSet
+      val cands = vecs.iterator
+        .filter { case (id, _) => id != qId && probes.contains(indexed(id)._1) }
+        .map { case (id, v) => (id, score(qVec, v)) }
+        .toSeq
+      cands.sortBy { case (id, cos) => (-cos, id) }.take(TopK).zipWithIndex.map {
+        case ((nId, cos), r) =>
+          (qId, nId, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1)
+      }
+    }.sortBy(t => (t._1, t._4))
+  }
+
+  /** Collect + normalize the embeddings exactly like `normalized`:
+    * float->double products left-to-right, then per-element double division.
+    * SMALL-SCALE ORACLE ONLY — the collect is the whole table.
+    */
+  private[operators] def oracleVecs(spark: SparkSession, dir: String): Array[(Long, Array[Double])] = {
     import spark.implicits._
-    val rows = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    emb(spark, dir).select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
-    // normalize exactly like `normalized`: graft_dot float->double products
-    // left-to-right, then per-element double division
-    val vecs: Array[(Long, Array[Double])] = rows.map { case (id, e) =>
-      var s = 0.0
-      e.foreach(f => s += f.toDouble * f.toDouble)
-      val n = math.sqrt(s)
-      (id, e.map(_.toDouble / n).toArray)
-    }
+      .map { case (id, e) =>
+        var s = 0.0
+        e.foreach(f => s += f.toDouble * f.toDouble)
+        val n = math.sqrt(s)
+        (id, e.map(_.toDouble / n).toArray)
+      }
+  }
+
+  private[operators] def oracleScore(v: Array[Double], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * c(i); i += 1 }
+    s
+  }
+
+  private[operators] def oracleAssign(vecs: Array[(Long, Array[Double])],
+      centroids: IndexedSeq[IndexedSeq[Double]], nPr: Int): Map[Long, (Int, Seq[Int])] = {
+    val cents = centroids.map(c => l2norm(c).toArray).toArray
+    vecs.map { case (id, v) =>
+      val scores = cents.map(c => oracleScore(v, c))
+      val order = Array.range(0, cents.length).sortBy(i => (-scores(i), i))
+      id -> (order(0), order.take(math.min(nPr, cents.length)).toSeq)
+    }.toMap
+  }
+
+  /** The single-threaded mirror of [[trainCentroids]] — deterministic Lloyd
+    * iterations with the SAME fixed summation tree (block by vec_id %
+    * NBlocks, sort within block, merge blocks ascending).
+    */
+  private[operators] def oracleCentroids(vecs: Array[(Long, Array[Double])],
+                                         nCells: Int): IndexedSeq[IndexedSeq[Double]] = {
     val dim = Dim
-    def score(v: Array[Double], c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * c(i); i += 1 }
-      s
-    }
-    def assign(centroids: IndexedSeq[IndexedSeq[Double]], nPr: Int): Map[Long, (Int, Seq[Int])] = {
-      val cents = centroids.map(c => l2norm(c).toArray).toArray
-      vecs.map { case (id, v) =>
-        val scores = cents.map(c => score(v, c))
-        val order = Array.range(0, cents.length).sortBy(i => (-scores(i), i))
-        id -> (order(0), order.take(math.min(nPr, cents.length)).toSeq)
-      }.toMap
-    }
     var centroids: IndexedSeq[IndexedSeq[Double]] =
       vecs.take(nCells).map(_._2.toIndexedSeq).toIndexedSeq
     for (_ <- 0 until KMeansIters) {
-      val cells = assign(centroids, 1)
+      val cells = oracleAssign(vecs, centroids, 1)
       val nc = centroids.length
       val next = Array.fill(nc)(new Array[Double](dim))
       val counts = new Array[Long](nc)
-      // the fixed summation tree of trainCentroids: per block (vec_id %
-      // NBlocks) sorted by vec_id, blocks merged in ascending order
       vecs.groupBy(_._1 % NBlocks).toSeq.sortBy(_._1).foreach { case (_, members) =>
         val blockSums = Array.fill(nc)(new Array[Double](dim))
         val blockCounts = new Array[Long](nc)
@@ -445,19 +475,7 @@ object SimilarityOps {
         if (counts(k) == 0) centroids(k) else next(k).map(_ / counts(k)).toIndexedSeq
       }
     }
-    val indexed = assign(centroids, nProbe)
-    val byId = vecs.toMap
-    vecs.filter(_._1 < NumQueries).toSeq.flatMap { case (qId, qVec) =>
-      val probes = indexed(qId)._2.toSet
-      val cands = vecs.iterator
-        .filter { case (id, _) => id != qId && probes.contains(indexed(id)._1) }
-        .map { case (id, v) => (id, score(qVec, v)) }
-        .toSeq
-      cands.sortBy { case (id, cos) => (-cos, id) }.take(TopK).zipWithIndex.map {
-        case ((nId, cos), r) =>
-          (qId, nId, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1)
-      }
-    }.sortBy(t => (t._1, t._4))
+    centroids
   }
 
   /** Side parquet holding the single-threaded IVF oracle's rows. */
@@ -507,6 +525,122 @@ object SimilarityOps {
       .where(col("rank") <= TopK)
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rank"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Cosine gate for semantic-duplicate groups (sim5). */
+  final val SemThreshold = 0.35
+
+  /** sim5: SemDeDup (Abbas et al. 2023) — semantic deduplication in
+    * embedding space: k-means the corpus into cells, find within-cell pairs
+    * with cosine ≥ [[SemThreshold]], connect them into semantic-duplicate
+    * groups, and keep ONE representative per group — the member FARTHEST
+    * from its cell centroid (the paper's keeper rule: boundary examples
+    * carry more information than cluster-center ones), ties → min vec_id.
+    * Output per vector: `(vec_id, cell, group_id, group_size, keep,
+    * centroid_cos)`.
+    *
+    * Scale shape: the cells bound the candidate set exactly like the IVF
+    * index (NCells ~ sqrt(N) keeps per-cell pair lists O(N)); groups come
+    * from the dd7 label-propagation machinery over the within-cell pair
+    * graph; the keeper argmin is one `min(struct(ccos, vec_id))`
+    * HashAggregate. Everything is bit-deterministic (fixed-summation-tree
+    * k-means + left-to-right dot products), so the single-threaded oracle
+    * side table reproduces the distributed output exactly — an approximate
+    * semantic index with a hard value check, like sim2.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nRows = emb(spark, dir).count()
+    val side = semOracleTable(dir, nRows)
+    if (!OracleSide.exists(side)) {
+      import spark.implicits._
+      semDedupOracleRows(spark, dir)
+        .toDF("vec_id", "cell", "group_id", "group_size", "keep", "centroid_cos")
+        .write.mode("overwrite").parquet(side)
+    }
+    semDedupDistributed(spark, dir)
+  }
+
+  /** Side parquet holding the single-threaded SemDeDup oracle's rows. */
+  def semOracleTable(dir: String, n: Long): String =
+    OracleSide.path(s"sim5_oracle_semdedup_c$NCells", dir, n)
+
+  private[operators] def semDedupDistributed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = normalized(spark, dir).persist()
+    val centroids = trainCentroids(base, NCells)
+    base.unpersist(blocking = false)
+    val cents = centroids.map(c => l2norm(c))
+    val centDf = cents.zipWithIndex.map { case (c, k) => (k, c) }.toDF("cell", "cvec")
+    // materialize once: three consumers (both self-join sides + the group
+    // rollup) would otherwise re-run the scoring mapPartitions each —
+    // localCheckpoint is the repo's iterative-reuse pattern (clustersFromPairs
+    // scaladoc covers the cluster-deployment caveat). Bench note: sim5's
+    // ~9 s at sf0.1 is the SUM of ~30 sub-second jobs (3 k-means iterations,
+    // checkpoint materializations, 2-3 propagation rounds) — per-job
+    // scheduling overhead at probe scale, the dd7 profile, not a data-volume
+    // term; at cluster scale the fixed costs amortize.
+    val assigned = cellAssignments(base, centroids, 1)
+      .join(broadcast(centDf), "cell")
+      .select(col("vec_id"), col("vec"), col("cell"), dot(col("vec"), col("cvec")).as("ccos"))
+      .localCheckpoint()
+    val a = assigned.select(col("cell"), col("vec_id").as("ia"), col("vec").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("ib"), col("vec").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("ia") < col("ib") && dot(col("va"), col("vb")) >= SemThreshold)
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"))
+    val groups = DedupOps.clustersFromPairs(
+        assigned.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("group_id"),
+        col("cluster_size").as("group_size"))
+    val withCos = groups.join(assigned.select(col("vec_id"), col("cell"), col("ccos")), "vec_id")
+    val keepers = withCos.groupBy("group_id")
+      .agg(min(struct(col("ccos"), col("vec_id"))).as("best"))
+      .select(col("group_id"), col("best.vec_id").as("keeper"))
+    withCos.join(keepers, "group_id")
+      .select(col("vec_id"), col("cell"), col("group_id"), col("group_size"),
+        (col("vec_id") === col("keeper")).cast("int").as("keep"),
+        round(col("ccos"), 4).as("centroid_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Single-threaded mirror of [[semDedupDistributed]] — same k-means, same
+    * assignment, exact within-cell pairwise cosines, union-find min-label
+    * groups, same keeper rule. Bit-equal by the fixed summation tree.
+    */
+  def semDedupOracleRows(spark: SparkSession, dir: String): Seq[(Long, Int, Long, Long, Int, Double)] = {
+    val vecs = oracleVecs(spark, dir)
+    val centroids = oracleCentroids(vecs, NCells)
+    val asg = oracleAssign(vecs, centroids, 1)
+    val cents = centroids.map(c => l2norm(c).toArray).toArray
+    val ccos = vecs.map { case (id, v) => id -> oracleScore(v, cents(asg(id)._1)) }.toMap
+    // union-find with min-label fixpoint semantics (same as clustersFromPairs)
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(x: Long, y: Long): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { val lo = math.min(rx, ry); parent(math.max(rx, ry)) = lo }
+    }
+    vecs.groupBy(v => asg(v._1)._1).foreach { case (_, members) =>
+      val m = members.sortBy(_._1)
+      for (i <- m.indices; j <- (i + 1) until m.length)
+        if (oracleScore(m(i)._2, m(j)._2) >= SemThreshold) union(m(i)._1, m(j)._1)
+    }
+    val groupOf = vecs.map(v => v._1 -> find(v._1)).toMap
+    val sizes = groupOf.values.groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    val keeperOf = vecs.groupBy(v => groupOf(v._1)).map { case (g, members) =>
+      g -> members.map(_._1).minBy(id => (ccos(id), id))
+    }
+    vecs.map { case (id, _) =>
+      (id, asg(id)._1, groupOf(id), sizes(groupOf(id)),
+        if (keeperOf(groupOf(id)) == id) 1 else 0,
+        BigDecimal(ccos(id)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
   }
 
   /** Default hyperplane count for the single-table SRP-LSH near-dup variant —

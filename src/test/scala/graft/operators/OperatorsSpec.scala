@@ -552,6 +552,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq, s"got=${got.mkString(", ")}")
   }
 
+  test("SemDeDup equals its single-threaded oracle bit-for-bit") {
+    // same argument as sim2: fixed-summation-tree k-means + left-to-right
+    // dots make the whole semantic index deterministic, so the union-find
+    // oracle (different algorithm, same fixpoint) must reproduce every row
+    val dist = SimilarityOps.semDedupDistributed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getDouble(5)))
+      .toSeq
+    val oracle = SimilarityOps.semDedupOracleRows(spark, sf)
+    assert(dist == oracle,
+      s"diverges: ${dist.zip(oracle).collectFirst { case (d, o) if d != o => s"$d != $o" }}")
+    // structural invariants: one keeper per group, every group member shares it
+    val byGroup = dist.groupBy(_._3)
+    byGroup.foreach { case (g, ms) =>
+      assert(ms.count(_._5 == 1) == 1, s"group $g has ${ms.count(_._5 == 1)} keepers")
+      assert(ms.map(_._4).distinct == Seq(ms.size.toLong), s"group $g size mismatch")
+    }
+    assert(byGroup.exists(_._2.size > 1), "fixture too weak: no multi-member semantic group")
+  }
+
   test("hash split: deterministic, row-local, fractions near the permille targets") {
     import spark.implicits._
     val d = (0L until 5000L).map(i => (i, s"src${i % 7}")).toDF("doc_id", "source")
