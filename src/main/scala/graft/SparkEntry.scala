@@ -702,8 +702,10 @@ object SparkEntry {
     // rollup via a doc_id LEFT join for totality over short docs
     "ctn1_decontaminate" ->
       s"""WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-        |  FROM documents WHERE trim(text) <> ''),
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END AS toks
+        |  FROM documents),
         |g AS (
         |  SELECT doc_id, len(toks) AS n_tokens,
         |    CASE WHEN len(toks) >= ${DedupOps.DupGramK}

@@ -41,10 +41,13 @@ object ContaminationOps {
   /** [[decontaminate]] over an explicit `(doc_id, text)` frame. */
   def decontaminateOf(d: DataFrame): DataFrame = {
     val K = DedupOps.DupGramK
-    val mat = DedupOps.tokenized(d, 1)
-    val grams = when(size(col("toks")) >= K,
-      transform(sequence(lit(1), size(col("toks")) - (K - 1)),
-        i => md5(array_join(slice(col("toks"), i, lit(K)), " "))))
+    // TOTAL over the training corpus — empty/null-text docs tokenize to []
+    // (TextOps.tokensOf null contract) and pass through with a clean
+    // verdict, so an inner-join consumer of the flag table never loses a
+    // doc; Par.spread because the gram md5s are CPU-dense (dd8's argument)
+    val mat = Par.spread(
+      d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks")))
+    val grams = when(size(col("toks")) >= K, DedupOps.gramHashes(col("toks")))
       .otherwise(array().cast("array<string>"))
     val evalGrams = mat
       .where(col("doc_id") % EvalMod === 0)

@@ -313,8 +313,8 @@ object DedupOps {
 
   /** [[clusterKeeper]] over an explicit `(doc_id, text)` frame. */
   def clusterKeeperOf(d: DataFrame): DataFrame = {
-    val nToks = when(trim(col("text")) === "", 0L)
-      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    // tokensOf: null text counts 0 tokens in BOTH engines (qf1 contract)
+    val nToks = size(TextOps.tokensOf(col("text"))).cast("long")
     dupClustersOf(d)
       .join(d.select(col("doc_id"), nToks.as("n_tokens")), "doc_id")
       .groupBy("cluster_id")
@@ -328,6 +328,15 @@ object DedupOps {
 
   /** Token-k-gram length for cross-document duplicate-substring coverage. */
   final val DupGramK = 8
+
+  /** The dd6/dd8/ctn1 gram convention in ONE place: md5 of each
+    * space-joined [[DupGramK]]-token window of `toks` (1-based positions,
+    * `size - K + 1` grams). Callers must have materialized `toks` into a
+    * real column first (re-evaluation pitfall, TextOps.repetitionStats).
+    */
+  private[operators] def gramHashes(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - (DupGramK - 1)),
+      i => md5(array_join(slice(toks, i, lit(DupGramK)), " ")))
 
   /** Cross-document duplicated-n-gram coverage (the distributed signal behind
     * exact-substring dedup, Lee et al. 2022 "Deduplicating Training Data
@@ -352,8 +361,7 @@ object DedupOps {
       .where(trim(col("text")) =!= "")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
     val n = size(col("toks"))
-    val grams = transform(sequence(lit(1), n - (DupGramK - 1)),
-      i => md5(array_join(slice(col("toks"), i, lit(DupGramK)), " ")))
+    val grams = gramHashes(col("toks"))
     val g = mat
       .where(n >= DupGramK)
       .select(col("doc_id"), explode(array_distinct(grams)).as("h"))
@@ -425,8 +433,7 @@ object DedupOps {
     */
   private def dupRunsOf(mat: DataFrame): DataFrame = {
     val K = DupGramK
-    val grams = transform(sequence(lit(1), size(col("toks")) - (K - 1)),
-      i => md5(array_join(slice(col("toks"), i, lit(K)), " ")))
+    val grams = gramHashes(col("toks"))
     val dfreq = mat
       .select(col("doc_id"), explode(array_distinct(grams)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))

@@ -48,8 +48,10 @@ object PackingOps {
 
   /** [[sequenceOffsets]] over an explicit `(doc_id, text)` frame. */
   def sequenceOffsetsOf(d: DataFrame, bucketSize: Long = DefaultBucketSize): DataFrame = {
-    val nToks = when(trim(col("text")) === "", 0L)
-      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    // tokensOf, not an inline split: a NULL text would make the inline form
+    // read size(null) = -1 (vs the oracle's coalesce-to-0), shifting every
+    // later doc's offset (the qf1 null-contract lesson)
+    val nToks = size(TextOps.tokensOf(col("text"))).cast("long")
     val base = d.select(col("doc_id"), nToks.as("n_tokens"),
       expr(s"doc_id div $bucketSize").as("bkt"))
     val bucketW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)

@@ -648,14 +648,17 @@ class OperatorsSpec extends SparkSpec {
       // train doc embedding e2..e11: grams 3..5 of 6 collide with eval
       (10L, (Seq("x1", "x2") ++ e.slice(1, 11) ++ Seq("y1")).mkString(" ")),
       (11L, (1 to 10).map(i => s"c$i").mkString(" ")), // clean, 3 grams
-      (12L, "a b c d e"))                              // short: zero grams
+      (12L, "a b c d e"),                              // short: zero grams
+      (13L, ""), (14L, null.asInstanceOf[String]))     // total: empty/null stay
       .toDF("doc_id", "text")
     val got = ContaminationOps.decontaminateOf(d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))
     val expected = Array(
       (10L, 13L, 6L, 3L, 0.5, 1),
       (11L, 10L, 3L, 0L, 0.0, 0),
-      (12L, 5L, 0L, 0L, 0.0, 0))
+      (12L, 5L, 0L, 0L, 0.0, 0),
+      (13L, 0L, 0L, 0L, 0.0, 0),
+      (14L, 0L, 0L, 0L, 0.0, 0))
     assert(got.toSeq == expected.toSeq, s"got=${got.mkString(", ")}")
   }
 
@@ -663,14 +666,15 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     // bucketSize=4 forces multiple buckets; sparse ids + an empty doc
     val d = Seq(
-      (0L, "a b c"), (1L, "d e"), (3L, ""),            // bucket 0: 3, 2, 0
+      (0L, "a b c"), (1L, "d e"), (2L, null.asInstanceOf[String]), (3L, ""),
       (5L, (1 to 2050).map(i => s"t$i").mkString(" ")),// bucket 1: crosses a seq boundary
       (7L, "x"), (8L, "y z"), (12L, "w"))              // buckets 1, 2, 3
       .toDF("doc_id", "text")
     val got = PackingOps.sequenceOffsetsOf(d, bucketSize = 4L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    // sequential recompute
-    val toks = Seq(0L -> 3L, 1L -> 2L, 3L -> 0L, 5L -> 2050L, 7L -> 1L, 8L -> 2L, 12L -> 1L)
+    // sequential recompute; null text counts 0 (the inline-split form read -1
+    // and shifted every later offset — caught in review, pinned here)
+    val toks = Seq(0L -> 3L, 1L -> 2L, 2L -> 0L, 3L -> 0L, 5L -> 2050L, 7L -> 1L, 8L -> 2L, 12L -> 1L)
     var off = 0L
     val expected = toks.map { case (id, n) =>
       val r = (id, n, off, off / PackingOps.SeqLen, off % PackingOps.SeqLen)
