@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection at training-data-pipeline scale.
   *
   * MinHash+LSH: shingle → 64 minhash permutations (64 codegen'd agg
-  * expressions, no explode blowup) → 16 bands x 4 rows → band-bucket
+  * expressions, no explode blowup) → 32 bands x 2 rows → band-bucket
   * self-join → exact-Jaccard verification of the (few) candidates.
   * Sub-quadratic: only docs sharing a band bucket ever pair, and the exact
   * check runs on candidates only.
@@ -355,15 +355,13 @@ object DedupOps {
     * both engines).
     */
   def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
-    // materialize tokens once per row (see TextOps.repetitionStats: lambdas
-    // indexing into a raw split(...) expression re-evaluate it per access)
-    val mat = docs(spark, dir)
-      .where(trim(col("text")) =!= "")
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-    val n = size(col("toks"))
+    // tokenized(): single materialization per row + Par.spread — dd6
+    // md5-hashes every gram of every doc, exactly the CPU-dense work the
+    // single-split guard exists for (review fix: the former inline copy
+    // skipped the spread and serialized the corpus onto one task)
+    val mat = tokenized(docs(spark, dir), DupGramK)
     val grams = gramHashes(col("toks"))
     val g = mat
-      .where(n >= DupGramK)
       .select(col("doc_id"), explode(array_distinct(grams)).as("h"))
     val dfreq = g.groupBy("h").agg(count(lit(1)).as("df"))
     g.join(dfreq, "h")

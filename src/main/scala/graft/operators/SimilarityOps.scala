@@ -199,6 +199,21 @@ object SimilarityOps {
     * same arithmetic as DuckDB's list_cosine_similarity after 4dp HALF_UP
     * rounding: float->double products, left-to-right accumulation.
     */
+  /** The ONE near-threshold cosine gate all exact-verify kernels share:
+    * cheap raw prefilter (anything below threshold - 0.5e-4 cannot round up
+    * to the threshold at 4dp), then exact HALF_UP rounding for survivors.
+    * A single definition because OperatorsSpec asserts the three callers
+    * (verifiedPairs, dedupEmbedding, dedupEmbeddingExact) are bit-identical
+    * — tuning the epsilon or rounding mode in one copy would silently
+    * de-synchronize the others.
+    */
+  @inline private def roundedGate(raw: Double, threshold: Double): Option[Double] =
+    if (raw < threshold - 0.5e-4) None
+    else {
+      val cos = BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (cos >= threshold) Some(cos) else None
+    }
+
   private def verifiedPairs(spark: SparkSession, pairs: org.apache.spark.sql.Dataset[(Long, Long, Seq[Float], Seq[Float])],
                             threshold: Double): DataFrame = {
     import spark.implicits._
@@ -215,12 +230,7 @@ object SimilarityOps {
           i += 1
         }
         val raw = dotAb / math.sqrt(na) / math.sqrt(nb)
-        // exact HALF_UP rounding only for near-threshold survivors
-        if (raw < threshold - 0.5e-4) None
-        else {
-          val cos = BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (cos >= threshold) Some((ida, idb, cos)) else None
-        }
+        roundedGate(raw, threshold).map(cos => (ida, idb, cos))
       }
     }.toDF("vec_a", "vec_b", "cos")
   }
@@ -273,12 +283,7 @@ object SimilarityOps {
         var dotAb = 0.0; var i = 0
         while (i < ea.length) { dotAb += ea(i).toDouble * eb(i).toDouble; i += 1 }
         val raw = dotAb / lo._4 / hi._4
-        // exact HALF_UP rounding only for near-threshold survivors
-        if (raw < threshold - 0.5e-4) None
-        else {
-          val cos = BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (cos >= threshold) Some((lo._2, hi._2, cos)) else None
-        }
+        roundedGate(raw, threshold).map(cos => (lo._2, hi._2, cos))
       }
       if (p == q) {
         val ms = members.sortBy(_._2)
@@ -360,11 +365,7 @@ object SimilarityOps {
           var dotAb = 0.0; var i = 0
           while (i < ea.length) { dotAb += ea(i).toDouble * eb(i).toDouble; i += 1 }
           val raw = dotAb / na / nb
-          if (raw < threshold - 0.5e-4) None
-          else {
-            val cos = BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (cos >= threshold) Some((ida, idb, cos)) else None
-          }
+          roundedGate(raw, threshold).map(cos => (ida, idb, cos))
         }
       }
     }
@@ -501,10 +502,11 @@ object SimilarityOps {
   }
 
   private def annIvfDistributed(spark: SparkSession, dir: String, nCells: Int, nProbe: Int): DataFrame = {
-    // cache only for the Lloyd iterations (see dedupEmbedding)
+    // cache only for the Lloyd iterations + the eager query collect below
+    // (review fix: unpersisting before the collect forced one extra full
+    // normalize+scoring recompute); the returned lazy plan still recomputes
     val base = normalized(spark, dir).persist()
     val centroids = trainCentroids(base, nCells)
-    base.unpersist(blocking = false)
     val indexed = cellAssignments(base, centroids, nProbe)
     // the query side is <= NumQueries rows — collect it eagerly so the big
     // `indexed` subtree appears ONCE in the final plan instead of being
@@ -513,6 +515,7 @@ object SimilarityOps {
     val qRows = indexed.where(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("vec"), col("probes"))
       .as[(Long, Seq[Double], Seq[Int])].collect()
+    base.unpersist(blocking = false)
     val queries = qRows.flatMap { case (id, vec, probes) => probes.map(c => (id, vec, c)) }
       .toSeq.toDF("q_id", "q_vec", "cell")
     val cand = indexed.join(broadcast(queries), Seq("cell"))
@@ -568,7 +571,6 @@ object SimilarityOps {
     import spark.implicits._
     val base = normalized(spark, dir).persist()
     val centroids = trainCentroids(base, NCells)
-    base.unpersist(blocking = false)
     val cents = centroids.map(c => l2norm(c))
     val centDf = cents.zipWithIndex.map { case (c, k) => (k, c) }.toDF("cell", "cvec")
     // materialize once: three consumers (both self-join sides + the group
@@ -583,6 +585,9 @@ object SimilarityOps {
       .join(broadcast(centDf), "cell")
       .select(col("vec_id"), col("vec"), col("cell"), dot(col("vec"), col("cvec")).as("ccos"))
       .localCheckpoint()
+    // the eager checkpoint above was base's last consumer (review fix:
+    // unpersisting before it forced a full recompute off the cache)
+    base.unpersist(blocking = false)
     val a = assigned.select(col("cell"), col("vec_id").as("ia"), col("vec").as("va"))
     val b = assigned.select(col("cell"), col("vec_id").as("ib"), col("vec").as("vb"))
     val pairs = a.join(b, Seq("cell"))
@@ -721,8 +726,10 @@ object SimilarityOps {
     * replaces the all-pairs O(n^2/NBlocks) block join with an expected
     * O(sum of bucket-size^2). The plane count must GROW with the corpus —
     * pass `nPlanesFor(n)` (log2(n) + margin; see its scaladoc for the
-    * occupancy math) for production corpora; the `NPlanes`=16 default is the
-    * frozen oracle instance the driver value-checks, and (as with dd4)
+    * occupancy math) for production corpora; the `NPlanes`=8 default is the
+    * frozen oracle instance the driver value-checks (8, not 16: see the
+    * NPlanes scaladoc — at 16 this corpus's verified pair set is empty and
+    * the value check would be vacuous), and (as with dd4)
     * skewed buckets split under AQE. Exact cosine verification runs on
     * candidates only, so output pairs are exactly dd5's pair set restricted
     * to same-bucket collisions (recall on THIS corpus is pinned by the

@@ -592,6 +592,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pipe2 and pack1 outputs are invariant to input physical partitioning") {
+    // windows partition by data-derived keys (doc_id / bucket), never by
+    // physical layout — a repartitioned input must produce identical rows
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val shuffled = d.repartition(13)
+    assert(DedupOps.cutDupSpansOf(d).collect().toSeq ==
+      DedupOps.cutDupSpansOf(shuffled).collect().toSeq, "pipe2 layout-dependent")
+    assert(PackingOps.sequenceOffsetsOf(d, bucketSize = 16L).collect().toSeq ==
+      PackingOps.sequenceOffsetsOf(shuffled, bucketSize = 16L).collect().toSeq,
+      "pack1 layout-dependent")
+  }
+
   test("quality filter: first-failing-rule semantics on planted docs") {
     import spark.implicits._
     val normal = (1 to 30).map(i => s"the word$i").mkString(" ")   // 60 tokens, stopwords, distinct
