@@ -41,7 +41,7 @@ object Bench {
     "ev1_hourly_events", "ev2_user_sessions", "ev3_props_agg", "ev4_funnel", "ev5_retention",
     "src1_gt_summary",
     "txt1_token_count", "txt2_quality_score", "txt3_langid", "txt4_fingerprints",
-    "txt5_repetition", "qf1_quality_filter", "pipe1_training_prep", "pipe2_cut_dups",
+    "txt5_repetition", "txt6_bpe_tokens", "qf1_quality_filter", "pipe1_training_prep", "pipe2_cut_dups",
     "ds1_source_stats", "ds2_hash_split", "ctn1_decontaminate", "pack1_sequence_offsets",
     "pipe3_cluster_keeper",
     "hx1_html_extract", "px1_pdf_extract",

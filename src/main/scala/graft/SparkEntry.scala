@@ -129,6 +129,8 @@ object SparkEntry {
     // deterministic train/val/test split by portable doc_id hash: row-local
     // (reshuffle/rerun/growth-stable), pure map, zero data shuffles
     "ds2_hash_split" -> (DomainOps.hashSplit _),
+    // BPE-ish regex pretokenizer counts beside the whitespace count
+    "txt6_bpe_tokens" -> (TextOps.bpeTokens _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -663,6 +665,17 @@ object SparkEntry {
         |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
         |FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN nsp USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // txt6: same lookahead-free patterns evaluated by DuckDB's RE2 — the
+    // value check proves Java-regex and RE2 segmentation agree per class
+    "txt6_bpe_tokens" ->
+      s"""SELECT doc_id,
+        |  CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_ws_tokens,
+        |  len(regexp_extract_all(coalesce(text, ''), '${TextOps.BpePat}')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(coalesce(text, ''), '${TextOps.BpeWordPat}')) AS n_word_runs,
+        |  len(regexp_extract_all(coalesce(text, ''), '${TextOps.BpeDigitPat}')) AS n_digit_runs,
+        |  len(regexp_extract_all(coalesce(text, ''), '${TextOps.BpeOtherPat}')) AS n_other_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // ds2: the portable polynomial hash over the doc_id string, folded in
     // DuckDB with the same left-to-right arithmetic
     "ds2_hash_split" ->

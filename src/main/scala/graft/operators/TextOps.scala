@@ -20,6 +20,36 @@ object TextOps {
           .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** GPT-2-style pretokenizer classes, lookahead-free so Java regex (Spark)
+    * and RE2 (DuckDB) segment identically: optional leading space + a
+    * maximal run of letters / digits / other-non-space.
+    */
+  final val BpeWordPat = " ?[A-Za-z]+"
+  final val BpeDigitPat = " ?[0-9]+"
+  final val BpeOtherPat = " ?[^A-Za-z0-9\\s]+"
+  final val BpePat = s"$BpeWordPat|$BpeDigitPat|$BpeOtherPat"
+
+  /** txt6: token counting under a BPE-ish regex pretokenizer (the GPT-2
+    * `\\p{L}+`/`\\p{N}+`/other split, ASCII classes, no lookahead) next to
+    * the whitespace count — the two tokenizer views a data pipeline
+    * budget-checks against each other. Pure map, zero data shuffles.
+    * By construction `n_bpe_tokens = n_word_runs + n_digit_runs +
+    * n_other_runs`; emitting both sides lets the oracle verify the two
+    * engines' regex segmentation agrees, not just a single total.
+    */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    def cnt(p: String) = size(regexp_extract_all(t, lit(p), lit(0)))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(tokensOf(col("text"))).as("n_ws_tokens"),
+        cnt(BpePat).as("n_bpe_tokens"),
+        cnt(BpeWordPat).as("n_word_runs"),
+        cnt(BpeDigitPat).as("n_digit_runs"),
+        cnt(BpeOtherPat).as("n_other_runs"))
+      .orderBy("doc_id")
+  }
+
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
   /** Quality metrics: char/token counts, punctuation count, stopword ratio.
