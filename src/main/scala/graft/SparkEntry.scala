@@ -321,18 +321,18 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt1_token_count" ->
       """SELECT doc_id,
-        | CASE WHEN trim(text) = '' THEN 0
-        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        | CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt2_quality_score" ->
-      """SELECT doc_id, length(text) AS n_chars,
-        | CASE WHEN trim(text) = '' THEN 0
-        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-        | length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-        | CASE WHEN trim(text) = '' THEN 0.0
-        |      ELSE round(len(list_filter(string_split_regex(trim(text), '\s+'),
+      """SELECT doc_id, length(coalesce(text, '')) AS n_chars,
+        | CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS n_tokens,
+        | length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '', 'g')) AS n_punct,
+        | CASE WHEN trim(coalesce(text, '')) = '' THEN 0.0
+        |      ELSE round(len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
         |             x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], lower(x))))
-        |           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4)
+        |           / CAST(len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS DOUBLE), 4)
         | END AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt3_langid" ->

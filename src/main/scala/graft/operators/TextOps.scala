@@ -12,12 +12,12 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** Whitespace token count per document. */
+  /** Whitespace token count per document (tokensOf: null text counts 0,
+    * the contract every tokenizing op in this file shares).
+    */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"),
-        when(trim(col("text")) === "", 0)
-          .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
+      .select(col("doc_id"), size(tokensOf(col("text"))).as("n_tokens"))
       .orderBy("doc_id")
 
   /** GPT-2-style pretokenizer classes, lookahead-free so Java regex (Spark)
@@ -56,16 +56,18 @@ object TextOps {
     * Ratios rounded to 4dp for stable cross-engine comparison.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val nTokens = when(trim(col("text")) === "", 0).otherwise(size(toks))
-    val nStop = when(trim(col("text")) === "", 0)
-      .otherwise(size(filter(toks, x => array_contains(lit(Stopwords.toArray), lower(x)))))
+    // tokensOf + coalesce: null text behaves as empty text in every column
+    // (the file-wide contract; the former inline split diverged to NULL)
+    val t = coalesce(col("text"), lit(""))
+    val toks = tokensOf(col("text"))
+    val nTokens = size(toks)
+    val nStop = size(filter(toks, x => array_contains(lit(Stopwords.toArray), lower(x))))
     docs(spark, dir)
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
+        length(t).as("n_chars"),
         nTokens.as("n_tokens"),
-        length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"),
+        length(regexp_replace(t, "[^.,;:!?]", "")).as("n_punct"),
         when(nTokens === 0, lit(0.0))
           .otherwise(round(nStop.cast("double") / nTokens.cast("double"), 4)).as("stop_ratio"))
       .orderBy("doc_id")
@@ -164,9 +166,10 @@ object TextOps {
 
   /** Whitespace token array of a text column; null and blank text both yield
     * the EMPTY array (the DuckDB mirrors coalesce(text, '') the same way —
-    * without the guard Spark's size(null) = -1 and DuckDB's len(NULL) = NULL
-    * silently diverge on any future null-text row). Shared by txt5 and qf1 so
-    * their tokenizations cannot drift apart.
+    * without the guard Spark's size(null) yields NULL under ANSI mode (the
+    * Spark 4 default; -1 pre-ANSI) vs the contract's 0, and downstream
+    * arithmetic silently diverges on any future null-text row). The ONE
+    * tokenizer every text op in this file shares so they cannot drift apart.
     */
   private[operators] def tokensOf(text: Column): Column = {
     val t = trim(coalesce(text, lit("")))

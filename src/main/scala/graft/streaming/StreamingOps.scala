@@ -41,16 +41,19 @@ object StreamingOps {
     }
     docs
       .groupByKey(_.text_hash)
-      .flatMapGroupsWithState[Boolean, StreamDoc](OutputMode.Append, timeoutConf) {
-        (_: String, rows: Iterator[StreamDoc], state: GroupState[Boolean]) =>
+      .flatMapGroupsWithState[Long, StreamDoc](OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[StreamDoc], state: GroupState[Long]) =>
           if (state.hasTimedOut) {
             // horizon passed with no re-arrival: drop the entry entirely so
             // the key costs nothing until (and unless) it is seen again
             state.remove()
             Iterator.empty
           } else {
-            // deterministic winner within the batch: smallest doc_id; also
-            // the max event ts anchors the TTL at the LAST sighting
+            // deterministic winner within the batch: smallest doc_id. The
+            // state stores the RUNNING max event ts across batches: a late
+            // out-of-order duplicate (older ts, still above the watermark)
+            // must not move the timeout EARLIER and evict a live hash inside
+            // its horizon — the TTL anchors at the newest sighting ever seen
             var best: StreamDoc = null
             var maxTs = Long.MinValue
             rows.foreach { d =>
@@ -58,8 +61,9 @@ object StreamingOps {
               if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
             }
             val first = !state.exists
-            state.update(true)
-            retention.foreach(h => state.setTimeoutTimestamp(maxTs + h.toMillis))
+            val anchor = if (first) maxTs else math.max(state.get, maxTs)
+            state.update(anchor)
+            retention.foreach(h => state.setTimeoutTimestamp(anchor + h.toMillis))
             if (first) Iterator.single(best) else Iterator.empty
           }
       }

@@ -78,6 +78,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup TTL: a late out-of-order duplicate cannot SHORTEN the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.StreamDoc]
+    // 10-minute watermark delay admits disorder; horizon 10 minutes. The TTL
+    // must anchor at the NEWEST sighting ever seen: re-anchoring at a late
+    // duplicate's OLDER ts would evict a live hash inside its horizon
+    val q = StreamingOps.dedupFirstSeen(
+        in.toDS().withWatermark("ts", "10 minutes"),
+        retention = Some(java.time.Duration.ofMinutes(10)))
+      .writeStream.format("memory").queryName("dedup_ttl_late_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(StreamingOps.StreamDoc("doc-a", "h1", ts(60))) // emit; timeout 70
+      q.processAllAvailable()
+      // late dup (ts 53 > watermark 50): suppressed; must NOT move timeout to 63
+      in.addData(StreamingOps.StreamDoc("doc-b", "h1", ts(53)))
+      q.processAllAvailable()
+      in.addData(StreamingOps.StreamDoc("doc-c", "h2", ts(75))) // watermark -> 65
+      q.processAllAvailable()
+      // under the old re-anchor-at-53 bug, h1 expires here (65 > 63)
+      in.addData(StreamingOps.StreamDoc("doc-d", "h3", ts(76)))
+      q.processAllAvailable()
+      // still inside the true horizon (watermark 66 < 70): must stay suppressed
+      in.addData(StreamingOps.StreamDoc("doc-e", "h1", ts(67)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_ttl_late_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out == Set(("doc-a", "h1"), ("doc-c", "h2"), ("doc-d", "h3")),
+        s"late duplicate shortened the horizon: $out")
+    } finally q.stop()
+  }
+
   test("streaming funnel: state machine advances across micro-batches, strict order within") {
     val s = spark
     import s.implicits._
