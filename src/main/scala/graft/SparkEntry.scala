@@ -31,6 +31,54 @@ object SparkEntry {
   /** DuckDB mirror of DedupOps.simHashSignatures as a CTE chain ending in
     * `sig(doc_id, s)` — shared by dd4 (pairs) and dd7 (clusters).
     */
+  /** ds1's CTE chain (quality rules → reject index → (source, md5) pre-agg →
+    * per-source rollup), shared by the ds1 and ds3 oracle queries.
+    */
+  private def duckDs1Ctes: String =
+    """d AS (
+      |  SELECT doc_id, source, text,
+      |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, text, len(toks) AS n,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) END AS mtl,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(toks,
+      |                x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], lower(x)))) AS DOUBLE)
+      |              / len(toks) END AS stop_r,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dist_r,
+      |    CASE WHEN len(toks) < 2 THEN 0.0
+      |         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+      |                  i -> toks[i] || chr(1) || toks[i+1]))) AS DOUBLE)
+      |              / CAST(len(toks) - 1 AS DOUBLE) END AS dup2
+      |  FROM d),
+      |r AS (
+      |  SELECT source, md5(text) AS h, n,
+      |    CASE WHEN n < 25 THEN 1 WHEN n > 100000 THEN 2
+      |         WHEN mtl < 3.0 OR mtl > 10.0 THEN 3
+      |         WHEN stop_r < 0.01 THEN 4
+      |         WHEN dist_r < 0.35 THEN 5
+      |         WHEN dup2 > 0.06 THEN 6 ELSE 0 END AS ri
+      |  FROM s),
+      |g1 AS (
+      |  SELECT source, h, count(*) AS c, min(n) AS t,
+      |    min(CASE WHEN ri = 0 THEN 1 ELSE 0 END) AS k, min(ri) AS ri
+      |  FROM r GROUP BY 1, 2),
+      |g2 AS (
+      |  SELECT source, sum(c) AS n_docs, count(*) AS n_texts,
+      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_docs,
+      |    sum(c * t) AS total_tokens, sum(c * k) AS n_kept,
+      |    sum(CASE WHEN ri = 1 THEN c ELSE 0 END) AS n_too_short,
+      |    sum(CASE WHEN ri = 2 THEN c ELSE 0 END) AS n_too_long,
+      |    sum(CASE WHEN ri = 3 THEN c ELSE 0 END) AS n_word_length,
+      |    sum(CASE WHEN ri = 4 THEN c ELSE 0 END) AS n_low_stopword,
+      |    sum(CASE WHEN ri = 5 THEN c ELSE 0 END) AS n_low_distinct,
+      |    sum(CASE WHEN ri = 6 THEN c ELSE 0 END) AS n_repetitive
+      |  FROM g1 GROUP BY 1)""".stripMargin
+
   private def duckSimHashCtes: String =
     s"""toks AS (
        |  SELECT doc_id, tok FROM (
@@ -131,6 +179,9 @@ object SparkEntry {
     "ds2_hash_split" -> (DomainOps.hashSplit _),
     // BPE-ish regex pretokenizer counts beside the whitespace count
     "txt6_bpe_tokens" -> (TextOps.bpeTokens _),
+    // domain mixture re-weighting: equalize kept domains to the smallest
+    // kept token budget, integer permille rates applied via ds2's buckets
+    "ds3_mix_plan" -> (DomainOps.mixPlan _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -665,6 +716,25 @@ object SparkEntry {
         |  coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
         |FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN nsp USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // ds3: ds1's CTEs, the verdict recomputed, the min over kept sources,
+    // and integer permille rates — all integer arithmetic in both engines
+    "ds3_mix_plan" ->
+      s"""WITH $duckDs1Ctes,
+        |st AS (
+        |  SELECT source, n_docs, total_tokens,
+        |    CASE WHEN dup_docs * 4 <= n_docs AND n_kept * 2 >= n_docs
+        |         THEN 1 ELSE 0 END AS keep
+        |  FROM g2),
+        |mk AS (SELECT min(total_tokens) AS min_kept FROM st WHERE keep = 1),
+        |rt AS (
+        |  SELECT st.source, st.n_docs, st.total_tokens, st.keep,
+        |    CASE WHEN st.keep = 0 THEN 0
+        |         ELSE least(1000, coalesce(mk.min_kept, 0) * 1000 // st.total_tokens)
+        |         END AS rate_permille
+        |  FROM st, mk)
+        |SELECT source, n_docs, total_tokens, keep, rate_permille,
+        |  total_tokens * rate_permille // 1000 AS est_tokens
+        |FROM rt ORDER BY source""".stripMargin,
     // txt6: same lookahead-free patterns evaluated by DuckDB's RE2 — the
     // value check proves Java-regex and RE2 segmentation agree per class
     "txt6_bpe_tokens" ->
@@ -746,49 +816,7 @@ object SparkEntry {
     // index, the (source, md5) pre-aggregation, and the per-source rollup —
     // the keep/drop verdict is integer cross-multiplication in both engines
     "ds1_source_stats" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, text,
-        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT source, text, len(toks) AS n,
-        |    CASE WHEN len(toks) = 0 THEN 0.0
-        |         ELSE CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) END AS mtl,
-        |    CASE WHEN len(toks) = 0 THEN 0.0
-        |         ELSE CAST(len(list_filter(toks,
-        |                x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], lower(x)))) AS DOUBLE)
-        |              / len(toks) END AS stop_r,
-        |    CASE WHEN len(toks) = 0 THEN 0.0
-        |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dist_r,
-        |    CASE WHEN len(toks) < 2 THEN 0.0
-        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-        |                  i -> toks[i] || chr(1) || toks[i+1]))) AS DOUBLE)
-        |              / CAST(len(toks) - 1 AS DOUBLE) END AS dup2
-        |  FROM d),
-        |r AS (
-        |  SELECT source, md5(text) AS h, n,
-        |    CASE WHEN n < 25 THEN 1 WHEN n > 100000 THEN 2
-        |         WHEN mtl < 3.0 OR mtl > 10.0 THEN 3
-        |         WHEN stop_r < 0.01 THEN 4
-        |         WHEN dist_r < 0.35 THEN 5
-        |         WHEN dup2 > 0.06 THEN 6 ELSE 0 END AS ri
-        |  FROM s),
-        |g1 AS (
-        |  SELECT source, h, count(*) AS c, min(n) AS t,
-        |    min(CASE WHEN ri = 0 THEN 1 ELSE 0 END) AS k, min(ri) AS ri
-        |  FROM r GROUP BY 1, 2),
-        |g2 AS (
-        |  SELECT source, sum(c) AS n_docs, count(*) AS n_texts,
-        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_docs,
-        |    sum(c * t) AS total_tokens, sum(c * k) AS n_kept,
-        |    sum(CASE WHEN ri = 1 THEN c ELSE 0 END) AS n_too_short,
-        |    sum(CASE WHEN ri = 2 THEN c ELSE 0 END) AS n_too_long,
-        |    sum(CASE WHEN ri = 3 THEN c ELSE 0 END) AS n_word_length,
-        |    sum(CASE WHEN ri = 4 THEN c ELSE 0 END) AS n_low_stopword,
-        |    sum(CASE WHEN ri = 5 THEN c ELSE 0 END) AS n_low_distinct,
-        |    sum(CASE WHEN ri = 6 THEN c ELSE 0 END) AS n_repetitive
-        |  FROM g1 GROUP BY 1)
+      s"""WITH $duckDs1Ctes
         |SELECT source, n_docs, n_texts, dup_docs, total_tokens, n_kept,
         |  round(CAST(n_kept AS DOUBLE) / n_docs, 4) AS kept_frac,
         |  round(CAST(dup_docs AS DOUBLE) / n_docs, 4) AS dup_frac,

@@ -66,6 +66,42 @@ object DomainOps {
       .orderBy("doc_id")
   }
 
+  /** ds3: domain mixture re-weighting plan — the stage after ds1's verdicts:
+    * equalize the token budget across surviving domains (the
+    * Pile/DoReMi-family heuristic in its deterministic integer form) by
+    * downsampling every kept source to the SMALLEST kept source's token
+    * count. `rate_permille = min(1000, min_kept_tokens * 1000 div
+    * total_tokens)` — integer arithmetic end to end, so both engines agree
+    * exactly; dropped sources rate 0. Applied downstream by ds2's hash
+    * buckets (`keep doc iff bucket < rate_permille`), which keeps the
+    * sampling row-local and reproducible. Output: `(source, n_docs,
+    * total_tokens, keep, rate_permille, est_tokens)`.
+    *
+    * Scale: everything after ds1's two aggregations operates on one row per
+    * source — the global min is an aggregate over that tiny frame,
+    * broadcast back (never a corpus-wide pass).
+    */
+  def mixPlan(spark: SparkSession, dir: String): DataFrame =
+    mixPlanOf(docs(spark, dir))
+
+  /** [[mixPlan]] over an explicit `(doc_id, source, text)` frame. */
+  def mixPlanOf(d: DataFrame): DataFrame = {
+    val stats = sourceStatsOf(d)
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("keep"))
+    val minKept = stats.where(col("keep") === 1)
+      .agg(min("total_tokens").as("min_kept"))
+    // coalesce BEFORE least: with zero kept sources min_kept is null, and
+    // Spark's least() skips nulls (would yield 1000) while the oracle's
+    // coalesce yields 0 — fold the empty-kept case to rate 0 in both
+    val rate = least(lit(1000L),
+      expr("coalesce(min_kept, 0) * 1000 div total_tokens"))
+    stats.crossJoin(broadcast(minKept))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("keep"),
+        when(col("keep") === 0, 0L).otherwise(rate).as("rate_permille"))
+      .withColumn("est_tokens", expr("total_tokens * rate_permille div 1000"))
+      .orderBy("source")
+  }
+
   /** ds1: per-source profile — doc/distinct-text/dup counts, token totals,
     * Gopher-rule pass rate, reject-reason histogram, and the domain
     * keep/drop verdict (`boilerplate` checked before `low_quality`).

@@ -629,6 +629,30 @@ class OperatorsSpec extends SparkSpec {
       "pack1 layout-dependent")
   }
 
+  test("mix plan: kept domains equalize to the smallest kept token budget") {
+    import spark.implicits._
+    def ok(k: Int, n: Int) = (1 to n / 2).map(i => s"the w${k}x$i").mkString(" ")
+    val d = Seq(
+      (1L, "good", ok(1, 60)), (2L, "good", ok(2, 60)), (3L, "good", ok(3, 60)),   // 180 kept
+      (4L, "big", ok(4, 100)), (5L, "big", ok(5, 100)), (6L, "big", ok(6, 100)),   // 300 kept
+      (7L, "spam", "too short a"), (8L, "spam", "too short b"),
+      (9L, "spam", "too short c"), (10L, "spam", "too short d"))                   // dropped
+      .toDF("doc_id", "source", "text")
+    val got = DomainOps.mixPlanOf(d).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+    val expected = Array(
+      ("big", 300L, 1, 600L, 180L),   // downsampled to the smallest kept budget
+      ("good", 180L, 1, 1000L, 180L),
+      ("spam", 12L, 0, 0L, 0L))
+    assert(got.toSeq == expected.toSeq, s"got=${got.mkString(", ")}")
+    // corner: no source survives -> every rate 0 (Spark least() skips nulls;
+    // the coalesce-before-least guard keeps both engines at 0)
+    val none = DomainOps.mixPlanOf(
+        Seq((1L, "x", "too short"), (2L, "y", "way too short")).toDF("doc_id", "source", "text"))
+      .collect().map(r => (r.getLong(4), r.getLong(5)))
+    assert(none.forall(_ == ((0L, 0L))), s"got=${none.mkString(", ")}")
+  }
+
   test("quality filter: first-failing-rule semantics on planted docs") {
     import spark.implicits._
     val normal = (1 to 30).map(i => s"the word$i").mkString(" ")   // 60 tokens, stopwords, distinct
