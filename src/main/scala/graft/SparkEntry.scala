@@ -68,15 +68,16 @@ object SparkEntry {
       |    min(CASE WHEN ri = 0 THEN 1 ELSE 0 END) AS k, min(ri) AS ri
       |  FROM r GROUP BY 1, 2),
       |g2 AS (
-      |  SELECT source, sum(c) AS n_docs, count(*) AS n_texts,
-      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_docs,
-      |    sum(c * t) AS total_tokens, sum(c * k) AS n_kept,
-      |    sum(CASE WHEN ri = 1 THEN c ELSE 0 END) AS n_too_short,
-      |    sum(CASE WHEN ri = 2 THEN c ELSE 0 END) AS n_too_long,
-      |    sum(CASE WHEN ri = 3 THEN c ELSE 0 END) AS n_word_length,
-      |    sum(CASE WHEN ri = 4 THEN c ELSE 0 END) AS n_low_stopword,
-      |    sum(CASE WHEN ri = 5 THEN c ELSE 0 END) AS n_low_distinct,
-      |    sum(CASE WHEN ri = 6 THEN c ELSE 0 END) AS n_repetitive
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_texts,
+      |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs,
+      |    CAST(sum(c * t) AS BIGINT) AS total_tokens,
+      |    CAST(sum(c * k) AS BIGINT) AS n_kept,
+      |    CAST(sum(CASE WHEN ri = 1 THEN c ELSE 0 END) AS BIGINT) AS n_too_short,
+      |    CAST(sum(CASE WHEN ri = 2 THEN c ELSE 0 END) AS BIGINT) AS n_too_long,
+      |    CAST(sum(CASE WHEN ri = 3 THEN c ELSE 0 END) AS BIGINT) AS n_word_length,
+      |    CAST(sum(CASE WHEN ri = 4 THEN c ELSE 0 END) AS BIGINT) AS n_low_stopword,
+      |    CAST(sum(CASE WHEN ri = 5 THEN c ELSE 0 END) AS BIGINT) AS n_low_distinct,
+      |    CAST(sum(CASE WHEN ri = 6 THEN c ELSE 0 END) AS BIGINT) AS n_repetitive
       |  FROM g1 GROUP BY 1)""".stripMargin
 
   private def duckSimHashCtes: String =
@@ -725,15 +726,16 @@ object SparkEntry {
         |    CASE WHEN dup_docs * 4 <= n_docs AND n_kept * 2 >= n_docs
         |         THEN 1 ELSE 0 END AS keep
         |  FROM g2),
-        |mk AS (SELECT min(total_tokens) AS min_kept FROM st WHERE keep = 1),
+        |mk AS (SELECT CAST(min(total_tokens) AS BIGINT) AS min_kept
+        |       FROM st WHERE keep = 1),
         |rt AS (
         |  SELECT st.source, st.n_docs, st.total_tokens, st.keep,
-        |    CASE WHEN st.keep = 0 THEN 0
+        |    CAST(CASE WHEN st.keep = 0 THEN 0
         |         ELSE least(1000, coalesce(mk.min_kept, 0) * 1000 // st.total_tokens)
-        |         END AS rate_permille
+        |         END AS BIGINT) AS rate_permille
         |  FROM st, mk)
         |SELECT source, n_docs, total_tokens, keep, rate_permille,
-        |  total_tokens * rate_permille // 1000 AS est_tokens
+        |  CAST(total_tokens * rate_permille // 1000 AS BIGINT) AS est_tokens
         |FROM rt ORDER BY source""".stripMargin,
     // txt6: same lookahead-free patterns evaluated by DuckDB's RE2 — the
     // value check proves Java-regex and RE2 segmentation agree per class
@@ -773,12 +775,13 @@ object SparkEntry {
         |  FROM documents),
         |o AS (
         |  SELECT doc_id, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS global_offset
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS global_offset
         |  FROM t)
         |SELECT doc_id, n_tokens, global_offset,
-        |  global_offset // ${PackingOps.SeqLen} AS seq_id,
-        |  global_offset % ${PackingOps.SeqLen} AS offset_in_seq
+        |  CAST(global_offset // ${PackingOps.SeqLen} AS BIGINT) AS seq_id,
+        |  CAST(global_offset % ${PackingOps.SeqLen} AS BIGINT) AS offset_in_seq
         |FROM o ORDER BY doc_id""".stripMargin,
     // ctn1: grams CTE shared with dd6/dd8's shape; eval side = doc_id % 97,
     // distinct eval grams LEFT-joined to training gram positions, per-doc
@@ -801,7 +804,8 @@ object SparkEntry {
         |t AS (
         |  SELECT doc_id, unnest(grams) AS h FROM g WHERE doc_id % ${ContaminationOps.EvalMod} <> 0),
         |c AS (
-        |  SELECT t.doc_id, sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+        |  SELECT t.doc_id,
+        |    CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cont
         |  FROM t LEFT JOIN e ON t.h = e.h GROUP BY 1)
         |SELECT g.doc_id, g.n_tokens, len(g.grams) AS n_grams,
         |  coalesce(c.n_cont, 0) AS n_contaminated,

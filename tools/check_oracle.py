@@ -18,7 +18,18 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
-        odf = con.execute(sql).fetchdf()
+        rel = con.execute(sql)
+        # Driver-parity guard: DuckDB sum() over BIGINT yields HUGEINT
+        # (int128), which pandas silently coerces to float/object — the
+        # value check below then passes while the driver's type-sensitive
+        # hash fails (round-4 ctn1/ds1/ds3/pack1). Flag it as a hard FAIL.
+        huge = [d[0] for d in rel.description
+                if "HUGEINT" in str(d[1]).upper() or "INT128" in str(d[1]).upper()]
+        if huge:
+            print(f"FAIL {name}: HUGEINT oracle columns {huge} — add CAST(... AS BIGINT)")
+            fails += 1
+            continue
+        odf = rel.fetchdf()
         sdf = pq.read_table(f"{out_dir}/{name}").to_pandas()
         ocols, scols = sorted(odf.columns), sorted(sdf.columns)
         if ocols != scols:
