@@ -183,6 +183,11 @@ object SparkEntry {
     // domain mixture re-weighting: equalize kept domains to the smallest
     // kept token budget, integer permille rates applied via ds2's buckets
     "ds3_mix_plan" -> (DomainOps.mixPlan _),
+    // ds3's plan APPLIED: broadcast the per-source rates into one corpus
+    // pass, keep iff ds2-bucket < rate, report achieved vs estimated tokens
+    // (dropped sources stay visible — the keep predicate lives inside the
+    // aggregate, so ds1's rollup is evaluated exactly once)
+    "ds4_mix_apply" -> (DomainOps.applyMix _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -737,6 +742,50 @@ object SparkEntry {
         |SELECT source, n_docs, total_tokens, keep, rate_permille,
         |  CAST(total_tokens * rate_permille // 1000 AS BIGINT) AS est_tokens
         |FROM rt ORDER BY source""".stripMargin,
+    // ds4: ds3's plan re-derived, then one pass over documents with the
+    // ds2 bucket hash — the keep predicate sits inside the aggregates so
+    // rate-0 sources still emit a row (achieved 0); dev is a subtraction
+    // (integer // rounds toward -inf in DuckDB but toward 0 in Spark)
+    "ds4_mix_apply" ->
+      s"""WITH $duckDs1Ctes,
+        |st AS (
+        |  SELECT source, n_docs, total_tokens,
+        |    CASE WHEN dup_docs * 4 <= n_docs AND n_kept * 2 >= n_docs
+        |         THEN 1 ELSE 0 END AS keep
+        |  FROM g2),
+        |mk AS (SELECT CAST(min(total_tokens) AS BIGINT) AS min_kept
+        |       FROM st WHERE keep = 1),
+        |pl AS (
+        |  SELECT st.source,
+        |    CAST(CASE WHEN st.keep = 0 THEN 0
+        |         ELSE least(1000, coalesce(mk.min_kept, 0) * 1000 // st.total_tokens)
+        |         END AS BIGINT) AS rate_permille, st.total_tokens
+        |  FROM st, mk),
+        |plan AS (
+        |  SELECT source, rate_permille,
+        |    CAST(total_tokens * rate_permille // 1000 AS BIGINT) AS est_tokens
+        |  FROM pl),
+        |tk AS (
+        |  SELECT source,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST(0 AS BIGINT)
+        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, c) -> (a * ${DedupOps.HashB1} + c) % ${DedupOps.HashM1})
+        |      % ${DomainOps.SplitBuckets} AS b
+        |  FROM documents),
+        |a AS (
+        |  SELECT p.source, p.rate_permille, p.est_tokens,
+        |    count(*) AS n_docs_in,
+        |    CAST(sum(CASE WHEN tk.b < p.rate_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        |    CAST(sum(CASE WHEN tk.b < p.rate_permille THEN tk.n_tokens ELSE 0 END) AS BIGINT) AS achieved_tokens
+        |  FROM tk JOIN plan p USING (source)
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, rate_permille, est_tokens, n_docs_in, n_docs_kept,
+        |  achieved_tokens,
+        |  CAST(achieved_tokens - est_tokens AS BIGINT) AS dev_tokens
+        |FROM a ORDER BY source""".stripMargin,
     // txt6: same lookahead-free patterns evaluated by DuckDB's RE2 — the
     // value check proves Java-regex and RE2 segmentation agree per class
     "txt6_bpe_tokens" ->

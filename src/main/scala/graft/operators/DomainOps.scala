@@ -108,6 +108,47 @@ object DomainOps {
       .orderBy("source")
   }
 
+  /** ds4: APPLY the [[mixPlan]] — the resample stage the ds3 plan exists
+    * for (the Pile/DoReMi sampling pass): keep a document iff its ds2 hash
+    * bucket falls under its source's `rate_permille`, and report per-source
+    * achieved token counts against the plan's `est_tokens`.
+    *
+    * Plan shape (the whole point): the tiny per-source plan is broadcast
+    * into ONE corpus pass — the bucket is row-local (no ds2 join needed),
+    * the keep decision is a pure-map predicate, and the rollup is a
+    * map-side-combined `groupBy(source)` whose shuffle carries ≤ #sources
+    * rows per task. Dropped sources stay visible (achieved 0) because the
+    * sampling predicate lives INSIDE the aggregate, not in a filter — which
+    * also keeps [[mixPlanOf]] (and ds1's rollup under it) evaluated exactly
+    * once instead of once per branch of a filter-then-join-back shape.
+    * `dev_tokens = achieved - est` is a plain subtraction (no integer
+    * division, whose rounding direction differs between engines for
+    * negative operands).
+    */
+  def applyMix(spark: SparkSession, dir: String): DataFrame =
+    applyMixOf(docs(spark, dir))
+
+  /** [[applyMix]] over an explicit `(doc_id, source, text)` frame. */
+  def applyMixOf(d: DataFrame): DataFrame = {
+    val plan = mixPlanOf(d)
+      .select(col("source"), col("rate_permille"), col("est_tokens"))
+    val bucket = pmod(
+      DedupOps.polyHash(col("doc_id").cast("string"), DedupOps.HashB1, DedupOps.HashM1),
+      lit(SplitBuckets))
+    val kept = col("bucket") < col("rate_permille")
+    d.select(col("doc_id"), col("source"),
+        size(TextOps.tokensOf(col("text"))).cast("long").as("n_tokens"),
+        bucket.as("bucket"))
+      .join(broadcast(plan), Seq("source"))
+      .groupBy("source", "rate_permille", "est_tokens")
+      .agg(
+        count(lit(1)).as("n_docs_in"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(kept, col("n_tokens")).otherwise(0L)).as("achieved_tokens"))
+      .withColumn("dev_tokens", col("achieved_tokens") - col("est_tokens"))
+      .orderBy("source")
+  }
+
   /** ds1: per-source profile — doc/distinct-text/dup counts, token totals,
     * Gopher-rule pass rate, reject-reason histogram, and the domain
     * keep/drop verdict (`boilerplate` checked before `low_quality`).

@@ -653,6 +653,39 @@ class OperatorsSpec extends SparkSpec {
     assert(none.forall(_ == ((0L, 0L))), s"got=${none.mkString(", ")}")
   }
 
+  test("mix apply: sampled tokens match the bucket rule, dropped sources stay visible") {
+    import spark.implicits._
+    def ok(k: Int, n: Int) = (1 to n / 2).map(i => s"the w${k}x$i").mkString(" ")
+    val d = Seq(
+      (1L, "good", ok(1, 60)), (2L, "good", ok(2, 60)), (3L, "good", ok(3, 60)),
+      (4L, "big", ok(4, 100)), (5L, "big", ok(5, 100)), (6L, "big", ok(6, 100)),
+      (7L, "spam", "too short a"), (8L, "spam", "too short b"),
+      (9L, "spam", "too short c"), (10L, "spam", "too short d"))
+      .toDF("doc_id", "source", "text")
+    val rates = DomainOps.mixPlanOf(d).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val buckets = DomainOps.hashSplitOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val toks = Map(1L -> 60L, 2L -> 60L, 3L -> 60L, 4L -> 100L, 5L -> 100L,
+      6L -> 100L, 7L -> 3L, 8L -> 3L, 9L -> 3L, 10L -> 3L)
+    val srcOf = (1L to 10L).map(i => i -> (if (i <= 3) "good" else if (i <= 6) "big" else "spam")).toMap
+    val out = DomainOps.applyMixOf(d).collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet == Set("good", "big", "spam"), s"sources=${out.keySet}")
+    for (src <- Seq("good", "big", "spam")) {
+      val docs = (1L to 10L).filter(srcOf(_) == src)
+      val keptDocs = docs.filter(i => buckets(i) < rates(src))
+      val (rate, est, nIn, nKept, achieved, dev) = out(src)
+      assert(rate == rates(src))
+      assert(nIn == docs.size, s"$src n_docs_in=$nIn")
+      assert(nKept == keptDocs.size, s"$src n_docs_kept=$nKept expected ${keptDocs.size}")
+      assert(achieved == keptDocs.map(toks).sum, s"$src achieved=$achieved")
+      assert(dev == achieved - est, s"$src dev=$dev")
+    }
+    // the dropped domain is rate 0: nothing sampled, visible with zeros
+    assert(out("spam")._1 == 0L && out("spam")._4 == 0L && out("spam")._5 == 0L)
+  }
+
   test("quality filter: first-failing-rule semantics on planted docs") {
     import spark.implicits._
     val normal = (1 to 30).map(i => s"the word$i").mkString(" ")   // 60 tokens, stopwords, distinct

@@ -114,6 +114,35 @@ class PlanSpec extends SparkSpec {
       s"ds1 aggregate degraded (string min in agg list?):\n${p.take(2000)}")
   }
 
+  test("mix plan evaluates ds1's rollup exactly once") {
+    // ds3 = ds1's two-level rollup + an unpartitioned window over the tiny
+    // per-source frame. A filter-then-join-back (or any second branch over
+    // the stats) re-runs the whole corpus rollup: it shows up as a second
+    // parquet scan and two extra hash exchanges (regressed once already —
+    // scaladoc note at DomainOps.mixPlanOf)
+    val p = plan(DomainOps.mixPlan(spark, sf))
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange") && l.contains("hashpartitioning")
+        && !l.contains("ReusedExchange"))
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(hashEx == 2, s"ds3 has $hashEx hash exchanges (want ds1's 2):\n${p.take(2500)}")
+    assert(scans == 1, s"ds3 scans documents $scans times (want 1):\n${p.take(2500)}")
+  }
+
+  test("mix apply broadcasts the plan and scans the corpus for one extra pass") {
+    // ds4 = ds3 (2 hash exchanges, 1 scan) + ONE broadcast of the per-source
+    // rates into a second corpus pass + ONE map-side-combined groupBy(source)
+    val p = plan(DomainOps.applyMix(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"ds4 lost the broadcast:\n${p.take(2500)}")
+    assert(!p.contains("SortMergeJoin"), s"ds4 shuffles the corpus for the join:\n${p.take(2500)}")
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange") && l.contains("hashpartitioning")
+        && !l.contains("ReusedExchange"))
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(hashEx == 3, s"ds4 has $hashEx hash exchanges (want 3):\n${p.take(2500)}")
+    assert(scans == 2, s"ds4 scans documents $scans times (want 2):\n${p.take(2500)}")
+  }
+
   test("decontamination broadcasts the eval grams; corpus never shuffles for the join") {
     // the eval suite is tiny by construction — if the gram join ever becomes
     // a SortMergeJoin, the full training corpus pays a gram-keyed shuffle
