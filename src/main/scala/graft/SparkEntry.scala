@@ -249,6 +249,10 @@ object SparkEntry {
     // bad rows classified and quarantined, never a task failure; survivors
     // pixel-hash value-checked like mm2
     "mm4_decode_quarantine" -> (MultimodalOps.decodeQuarantine _),
+    // all three stage tails (STD + the two YOLO heads) on genuinely decoded
+    // pixels: CCL candidate proposal stands in for the neural forward, the
+    // tails are the reference semantics; kind+box digests value-checked
+    "mm5_detect_stages" -> (MultimodalOps.imageDetectStages _),
     // HTML boilerplate strip (north rule surface): wrap each doc's text in a
     // deterministic full page, strip it back with the DOM-heuristic kernel;
     // oracle is md5(text) straight off the source table — no side table
@@ -312,6 +316,11 @@ object SparkEntry {
       s"""SELECT media_ref, status, err_kind, format, width, height, pix_hash, n_bytes
         |FROM read_parquet('${MultimodalOps.quarantineOracleTable(sfDir, nDocsTable)}/*.parquet')
         |ORDER BY media_ref""".stripMargin,
+    "mm5_detect_stages" ->
+      s"""SELECT media_ref, stage, width, height, n_cands, n_regions,
+        |  kind_digest, box_digest, sum_area
+        |FROM read_parquet('${MultimodalOps.stageDetectOracleTable(sfDir, nDocsTable)}/*.parquet')
+        |ORDER BY media_ref, stage""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_price,

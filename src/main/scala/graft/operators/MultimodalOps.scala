@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{concat, lit}
-import graft.kernel.{Detect, Image, Order, Payload, Resize}
+import graft.kernel.{Bitmap, Detect, Image, Order, Payload, Resize}
 import graft.pipeline.GenData
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
@@ -103,6 +103,73 @@ object MultimodalOps {
       area += (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong
     }
     ImageDetectRow(r.media_ref, px.width, px.height, rw, rh, regions.length, digest, area)
+  }
+
+  final case class StageDetectRow(media_ref: String, stage: Int, width: Int, height: Int,
+                                  n_cands: Int, n_regions: Int, kind_digest: Long,
+                                  box_digest: Long, sum_area: Long)
+
+  /** Deterministic candidate proposer standing in for the YOLO forward pass
+    * over decoded pixels (the north rule's replacement for the MFD/layout
+    * neural heads, /root/reference/cnstd/yolov7/layout_analyzer.py:283-330):
+    * connected components of the binarized luma become cxcywh candidates,
+    * conf = the component box's luma rect-mean (the same scorer the STD tail
+    * uses), cls = portable geometry hash into the stage vocabulary (layout
+    * skips class 0 — the reference's background class is never emitted).
+    * Everything downstream of the proposal IS the reference tail:
+    * Detect.yolo's conf filter → per-class NMS → caps → reversal → margin
+    * expand → clip, then Order.finalize.
+    */
+  private def proposeCandidates(stage: Int, luma: Array[Byte], w: Int, h: Int): Seq[Payload.Candidate] = {
+    val bits = Bitmap.thresholdBits(luma, 0, w * h, graft.schema.Params.BinThresh)
+    val comps = Bitmap.connectedComponents(bits, w, h, graft.schema.Params.MaxCandidates)
+    val nCls = graft.schema.Vocab.categories(stage).length
+    comps.map { c =>
+      val conf = Bitmap.rectMean(luma, 0, w, h, c.xMin, c.yMin, c.xMax, c.yMax)
+      var g = 0L
+      Seq(c.xMin, c.yMin, c.xMax, c.yMax).foreach { v =>
+        g = (g * DedupOps.HashB1 + v + 1) % DedupOps.HashM1
+      }
+      val cls =
+        if (stage == graft.schema.Vocab.StageLayout) 1 + (g % (nCls - 1)).toInt
+        else (g % nCls).toInt
+      Payload.Candidate(cls,
+        (c.xMin + c.xMax + 1) / 2.0f, (c.yMin + c.yMax + 1) / 2.0f,
+        (c.xMax - c.xMin + 1).toFloat, (c.yMax - c.yMin + 1).toFloat,
+        conf.toFloat)
+    }
+  }
+
+  /** mm5 kernel: decode once, then run ALL THREE stage tails on the decoded
+    * pixels — STD directly on the luma, MFD and layout via [[proposeCandidates]]
+    * + Detect.yolo. Digests fold the emitted kinds and coordinates so the
+    * oracle checks order, vocabulary, and geometry, not just counts.
+    */
+  private def detectStages(r: MediaRow): Seq[StageDetectRow] = {
+    val px = Image.decode(r.payload)
+    val luma = Image.gray(if (px.channels == 1) Image.grayToRgb(px) else px)
+    Seq(graft.schema.Vocab.StageStd, graft.schema.Vocab.StageMfd,
+        graft.schema.Vocab.StageLayout).map { stage =>
+      val (nCands, regions) =
+        if (stage == graft.schema.Vocab.StageStd)
+          (0, Order.finalize(Detect.std(luma, 0, px.width, px.height)))
+        else {
+          val cands = proposeCandidates(stage, luma, px.width, px.height)
+          (cands.length, Order.finalize(Detect.yolo(stage, px.width, px.height, cands)))
+        }
+      var kd = 0L
+      var bd = 0L
+      var area = 0L
+      regions.foreach { g =>
+        g.kind.foreach(ch => kd = (kd * DedupOps.HashB1 + ch) % DedupOps.HashM1)
+        Seq(g.x0, g.y0, g.x1, g.y1).foreach { c =>
+          bd = (bd * DedupOps.HashB1 + c + 1) % DedupOps.HashM1
+        }
+        area += (g.x1 - g.x0 + 1).toLong * (g.y1 - g.y0 + 1).toLong
+      }
+      StageDetectRow(r.media_ref, stage, px.width, px.height, nCands,
+        regions.length, kd, bd, area)
+    }
   }
 
   final case class QuarantineRow(media_ref: String, status: String, err_kind: String,
@@ -208,6 +275,32 @@ object MultimodalOps {
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(detectOnImage)))
       .toDF()
       .orderBy("media_ref")
+  }
+
+  def stageDetectOracleTable(dir: String, n: Long): String = OracleSide.path("mm5_oracle_stages", dir, n)
+
+  /** mm5: every detection stage the reference runs — STD, MFD, and layout —
+    * driven over GENUINELY DECODED pixels (any supported raster format), one
+    * output row per (image, stage), via the same batched mapPartitions
+    * plumbing and a sequential driver-side oracle. This closes the coverage
+    * gap where the YOLO tails only ever saw synthetic candidate payloads
+    * (x1–x4) while real bytes only ever reached the STD tail (mm3).
+    */
+  def imageDetectStages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val refs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(concat(lit("img-doc-"), $"doc_id").as("media_ref"))
+      .as[String]
+    val side = stageDetectOracleTable(dir, refs.count())
+    if (!OracleSide.exists(side)) {
+      val seq = refs.collect().sorted.toSeq
+        .flatMap(ref => detectStages(MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref))))
+      spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
+    }
+    Par.spread(refs).map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
+      .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.flatMap(detectStages)))
+      .toDF()
+      .orderBy("media_ref", "stage")
   }
 
   /** mm4: ingestion over a payload mix that INCLUDES corrupt byte streams

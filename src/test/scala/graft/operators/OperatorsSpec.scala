@@ -200,6 +200,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("mm5: all three stage tails run on decoded pixels and equal the sequential oracle") {
+    val out = MultimodalOps.imageDetectStages(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == nDocs * 3, s"want 3 rows/ref, got ${out.length}")
+    val side = spark.read.parquet(MultimodalOps.stageDetectOracleTable(sf, nDocs))
+      .orderBy("media_ref", "stage")
+      .select("media_ref", "stage", "width", "height", "n_cands", "n_regions",
+        "kind_digest", "box_digest", "sum_area")
+      .collect()
+    assert(out.map(_.toSeq).toSeq == side.map(_.toSeq).toSeq)
+    // every stage present per ref, and each YOLO head must actually fire on
+    // some decoded image (candidates proposed AND regions surviving the tail)
+    for (stage <- Seq(1, 2)) {
+      val rows = out.filter(_.getAs[Int]("stage") == stage)
+      assert(rows.length == nDocs)
+      assert(rows.exists(_.getAs[Int]("n_cands") > 0), s"stage $stage proposed nothing")
+      assert(rows.exists(r => r.getAs[Int]("n_regions") > 0 && r.getAs[Long]("kind_digest") != 0L),
+        s"stage $stage emitted no regions on any decoded image")
+    }
+    // MFD and layout digest streams must differ (different vocabularies/NMS
+    // classes), or the stage plumbing collapsed into one head
+    val d1 = out.filter(_.getAs[Int]("stage") == 1).map(_.getAs[Long]("kind_digest")).toSeq
+    val d2 = out.filter(_.getAs[Int]("stage") == 2).map(_.getAs[Long]("kind_digest")).toSeq
+    assert(d1 != d2, "MFD and layout produced identical kind digests")
+  }
+
   test("mm4: corrupt payloads quarantine deterministically, survivors match the oracle") {
     val out = MultimodalOps.decodeQuarantine(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
