@@ -230,18 +230,19 @@ object DedupOps {
       simHashPairsUnsorted(d).select("doc_a", "doc_b"))
 
   /** Connected components over an undirected pair list via iterative
-    * min-label propagation with pointer jumping. Each round:
-    *   1. neighbor min:  lbl(v) <- min(lbl(v), min over neighbors u of lbl(u))
-    *   2. pointer jump:  lbl(v) <- min(lbl(v), lbl(lbl(v)))
-    * Step 2 halves the depth of every label-reference chain, so convergence is
-    * O(log(longest chain)) rounds rather than O(graph diameter) — the same
-    * doubling idea as large-star/small-star (Kiveris et al., SoCC'14), kept in
-    * label space where each round is two co-keyed joins + one agg. Per round
-    * the labels table is `localCheckpoint`ed: it both materializes the
-    * iterate and TRUNCATES lineage, so the plan Catalyst optimizes stays
-    * one-round-sized instead of growing with the loop (on a real cluster a
-    * reliable `checkpoint` dir makes the iterate survive executor loss).
-    * Dedup-pair graphs are near-cliques, so in practice 2-3 rounds converge.
+    * min-label propagation with pointer jumping, fused per round:
+    *   lbl'(v) <- min(lbl(v), min over neighbors u of lbl(u), lbl(lbl(v)))
+    * The jump term halves the depth of every label-reference chain, so
+    * convergence is O(log(longest chain)) rounds rather than O(graph
+    * diameter) — the same doubling idea as large-star/small-star (Kiveris et
+    * al., SoCC'14), kept in label space where each round is one edge join +
+    * one label-space join feeding a single union'd min-aggregate. Per round
+    * the labels table is `localCheckpoint`ed EXACTLY ONCE: it materializes
+    * the iterate, carries the fused convergence flag, and TRUNCATES lineage,
+    * so the plan Catalyst optimizes stays one-round-sized instead of growing
+    * with the loop (on a real cluster a reliable `checkpoint` dir makes the
+    * iterate survive executor loss). Dedup-pair graphs are near-cliques, so
+    * in practice 2-3 rounds converge.
     */
   def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
@@ -256,14 +257,23 @@ object DedupOps {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxCcIters) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("u"), col("lbl").as("ulbl")), "u")
-        .groupBy(col("v").as("doc_id")).agg(min(col("ulbl")).as("nlbl"))
-      // the pre-round label rides along as `old` so convergence needs no
-      // second pass over the iterate
-      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // BOTH propagation steps fold into ONE union'd min-aggregate per round:
+      // candidates for v's new label are (a) v's own label, (b) each
+      // neighbor's label, and (c) the pointer jump lbl(lbl(v)) — taken
+      // against the PREVIOUS round's materialized labels, which preserves the
+      // fixpoint (neighbor-min alone guarantees it) and the log-depth
+      // acceleration (reach still doubles per round: f(r) = 2·f(r-1)), while
+      // letting the round materialize exactly once. The former shape computed
+      // a `stepped` frame and self-joined it — the un-checkpointed branch
+      // re-ran the edge join + aggregate a second time every round.
+      val viaEdges = edges
+        .join(labels.select(col("doc_id").as("u"), col("lbl").as("cand")), "u")
+        .select(col("v").as("doc_id"), col("cand"))
+      // label-space join: every label value is an iterate node id, so the
+      // jump map is labels itself keyed by node id
+      val viaJump = labels
+        .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("cand")), Seq("lbl"))
+        .select(col("doc_id"), col("cand"))
       // convergence detection is FUSED into the localCheckpoint
       // materialization: a side-effecting flag UDF feeds a LongAccumulator
       // while the iterate's rows are computed, replacing the former
@@ -274,13 +284,15 @@ object DedupOps {
       // for the >0 predicate this loop needs.
       val acc = nodes.sparkSession.sparkContext.longAccumulator(s"graft_cc_changed_$iter")
       val flag = udf { (c: Boolean) => if (c) acc.add(1L); c }
-      val newLbl = least(col("lbl"), coalesce(col("lbl2"), col("lbl")))
-      val jumped = stepped
-        .join(stepped.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("doc_id"), newLbl.as("lbl"), flag(newLbl =!= col("old")).as("chg"))
+      val next = labels.select(col("doc_id"), col("lbl").as("cand"))
+        .unionByName(viaEdges)
+        .unionByName(viaJump)
+        .groupBy("doc_id").agg(min(col("cand")).as("lbl"))
+        .join(labels.select(col("doc_id"), col("lbl").as("old")), Seq("doc_id"))
+        .select(col("doc_id"), col("lbl"), flag(col("lbl") =!= col("old")).as("chg"))
         .localCheckpoint()
       changed = acc.value
-      labels = jumped.select(col("doc_id"), col("lbl"))
+      labels = next.select(col("doc_id"), col("lbl"))
       iter += 1
     }
     require(changed == 0, s"label propagation did not converge in $MaxCcIters rounds")
@@ -402,7 +414,8 @@ object DedupOps {
 
   /** [[dupSpans]] over an explicit `(doc_id, text)` frame. */
   def dupSpansOf(d: DataFrame): DataFrame = {
-    val mat = tokenized(d, DupGramK)
+    // same three-consumer fan-out as pipe2: materialize the tokens once
+    val mat = tokenized(d, DupGramK).localCheckpoint()
     dupRunsOf(mat).join(mat, "doc_id")
       .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"),
         md5(array_join(
@@ -468,8 +481,15 @@ object DedupOps {
 
   /** [[cutDupSpans]] over an explicit `(doc_id, text)` frame. */
   def cutDupSpansOf(d: DataFrame): DataFrame = {
-    val all = tokenized(d, 1)
-    val spansByDoc = dupRunsOf(tokenized(d, DupGramK))
+    // tokenize ONCE and materialize: three consumers (the gram-df branch,
+    // the gram-positions branch, and the cut join's corpus side) each prune
+    // different columns/filters, so lazy sharing re-scans and re-tokenizes
+    // per branch (verified: 3 FileScans before this). A localCheckpoint of
+    // the text-sized (doc_id, toks) frame collapses them to one scan — the
+    // sim5/dd7 shared-iterate pattern (reliable `checkpoint` on a cluster);
+    // the gram-eligible frame is a size filter over the same materialization
+    val all = tokenized(d, 1).localCheckpoint()
+    val spansByDoc = dupRunsOf(all.where(size(col("toks")) >= DupGramK))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
         count(lit(1)).as("n_spans_cut"))

@@ -22,11 +22,14 @@ object TextOps {
 
   /** GPT-2-style pretokenizer classes, lookahead-free so Java regex (Spark)
     * and RE2 (DuckDB) segment identically: optional leading space + a
-    * maximal run of letters / digits / other-non-space.
+    * maximal run of letters / digits / other-non-space. The whitespace set
+    * in the "other" class is spelled out explicitly because the engines'
+    * `\s` disagree on vertical tab (Java includes \x0B, RE2 does not) —
+    * both interpret the literal class below identically.
     */
   final val BpeWordPat = " ?[A-Za-z]+"
   final val BpeDigitPat = " ?[0-9]+"
-  final val BpeOtherPat = " ?[^A-Za-z0-9\\s]+"
+  final val BpeOtherPat = " ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+"
   final val BpePat = s"$BpeWordPat|$BpeDigitPat|$BpeOtherPat"
 
   /** txt6: token counting under a BPE-ish regex pretokenizer (the GPT-2

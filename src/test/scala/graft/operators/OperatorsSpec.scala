@@ -622,7 +622,11 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     val d = Seq(
       (1L, "Hello world42 foo-bar!!"),   // words: Hello,world,foo,bar; digits: 42; other: -,!!
-      (2L, ""), (3L, null.asInstanceOf[String]))
+      (2L, ""), (3L, null.asInstanceOf[String]),
+      // vertical tab: Java \s includes \x0B, RE2's does not — the explicit
+      // whitespace class in BpeOtherPat keeps both engines from ever
+      // classing VT as an "other" run (it separates runs, matches nothing)
+      (4L, "a\u000Bb!!"))   // words: a,b; other: !! (VT matches NO class)
       .toDF("doc_id", "text")
     // bpeTokens reads from a dir; drive the same expressions via a temp view? No —
     // exercise through the sf corpus path for plan parity and the planted frame inline:
@@ -634,7 +638,8 @@ class OperatorsSpec extends SparkSpec {
         size(regexp_extract_all(coalesce(col("text"), lit("")), lit(TextOps.BpeOtherPat), lit(0))).as("o"))
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
-    assert(got.toSeq == Seq((1L, 3, 7, 4, 1, 2), (2L, 0, 0, 0, 0, 0), (3L, 0, 0, 0, 0, 0)),
+    assert(got.toSeq == Seq((1L, 3, 7, 4, 1, 2), (2L, 0, 0, 0, 0, 0), (3L, 0, 0, 0, 0, 0),
+        (4L, 2, 3, 2, 0, 1)),
       s"got=${got.mkString(", ")}")
     // corpus-wide: the three classes always sum to the combined segmentation
     val bad = TextOps.bpeTokens(spark, sf)

@@ -162,6 +162,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning"), "corpus window must partition by bucket")
   }
 
+  test("cut-dup-spans tokenizes the corpus once (checkpointed, zero re-scans)") {
+    // pipe2's three consumers (gram-df branch, gram-positions branch, cut
+    // join's corpus side) prune different columns, so lazy sharing re-scans
+    // and re-tokenizes per branch (3 FileScans before the fix). The tokens
+    // are now localCheckpoint-materialized once: the final plan must read
+    // ONLY the checkpoint — any parquet scan means a branch escaped it
+    val df = DedupOps.cutDupSpans(spark, sf)
+    df.collect() // AQE finalizes the physical plan
+    val p = plan(df)
+    val scanLines = p.linesIterator.filter(l => l.contains("Scan parquet") || l.contains("FileScan parquet")).toSeq
+    assert(scanLines.isEmpty,
+      s"pipe2 re-scans documents ${scanLines.length} times past the checkpoint:\n${scanLines.map(_.trim.take(220)).mkString("\n")}")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"pipe2 lost the checkpointed token source:\n${p.take(1500)}")
+  }
+
   test("token count stays inside whole-stage codegen") {
     val df = TextOps.tokenCount(spark, sf)
     df.collect() // materialize so AQE finalizes the physical plan
