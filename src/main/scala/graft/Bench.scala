@@ -42,14 +42,16 @@ object Bench {
     "src1_gt_summary",
     "txt1_token_count", "txt2_quality_score", "txt3_langid", "txt4_fingerprints",
     "txt5_repetition", "txt6_bpe_tokens", "qf1_quality_filter", "pipe1_training_prep", "pipe2_cut_dups",
-    "ds1_source_stats", "ds2_hash_split", "ds3_mix_plan", "ctn1_decontaminate", "pack1_sequence_offsets",
+    "ds1_source_stats", "ds2_hash_split", "ds3_mix_plan", "ds4_mix_apply",
+    "ctn1_decontaminate", "pack1_sequence_offsets",
     "pipe3_cluster_keeper",
     "hx1_html_extract", "px1_pdf_extract",
     "dd1_dedup_exact", "dd2_ngram_jaccard", "dd3_dedup_minhash09",
     "dd4_dedup_simhash", "dd5_dedup_embedding", "dd6_dup_ngrams", "dd7_dup_clusters",
     "dd8_dup_spans",
     "sim1_cosine_topk", "sim2_ann_ivf", "sim3_srp_lsh", "sim4_srp_banded", "sim5_semdedup",
-    "mm1_media_meta", "mm2_image_meta", "mm3_image_detect", "mm4_decode_quarantine")
+    "mm1_media_meta", "mm2_image_meta", "mm3_image_detect", "mm4_decode_quarantine",
+    "mm5_detect_stages")
 
   /** Fixed single-thread spin (800M xorshift steps), timed: a load-independent
     * unit of work whose wall time exposes the host's CURRENT deliverable CPU.
