@@ -188,6 +188,16 @@ object SparkEntry {
     // (dropped sources stay visible — the keep predicate lives inside the
     // aggregate, so ds1's rollup is evaluated exactly once)
     "ds4_mix_apply" -> (DomainOps.applyMix _),
+    // per-source exact token-length percentiles off the (source, n_tokens)
+    // histogram — ceiling-rank integers, never a per-source sort or
+    // percentile_approx; the dataset-card length-distribution stage
+    "ds5_length_percentiles" -> (DomainOps.lengthPercentiles _),
+    // per-sequence packing manifest: doc/boundary counts and fill per
+    // SeqLen window — the attention-masking metadata over pack1's layout
+    "pack2_sequence_manifest" -> (PackingOps.sequenceManifest _),
+    // eval-side contamination mirror: distinct hit grams + train-doc blast
+    // radius per eval item (Lee et al. 2022 §6.2's removal measure)
+    "ctn2_eval_contamination" -> (ContaminationOps.evalContamination _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -795,6 +805,27 @@ object SparkEntry {
         |  achieved_tokens,
         |  CAST(achieved_tokens - est_tokens AS BIGINT) AS dev_tokens
         |FROM a ORDER BY source""".stripMargin,
+    // ds5: ceiling-rank percentiles off the per-source length histogram —
+    // cum*100 >= n*p cross-multiplied in integers in both engines; the
+    // window sums are cast (DuckDB sum() returns HUGEINT, the ds1 lesson)
+    "ds5_length_percentiles" ->
+      s"""WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST(0 AS BIGINT)
+        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        |  FROM documents),
+        |h AS (SELECT source, n_tokens, count(*) AS c FROM t GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT source, n_tokens,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT source, max(n) AS n_docs, min(n_tokens) AS min_tokens,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN n_tokens END) AS p50,
+        |  min(CASE WHEN cum * 100 >= n * 90 THEN n_tokens END) AS p90,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN n_tokens END) AS p99,
+        |  max(n_tokens) AS max_tokens
+        |FROM cw GROUP BY source ORDER BY source""".stripMargin,
     // txt6: same lookahead-free patterns evaluated by DuckDB's RE2 — the
     // value check proves Java-regex and RE2 segmentation agree per class
     "txt6_bpe_tokens" ->
@@ -841,6 +872,37 @@ object SparkEntry {
         |  CAST(global_offset // ${PackingOps.SeqLen} AS BIGINT) AS seq_id,
         |  CAST(global_offset % ${PackingOps.SeqLen} AS BIGINT) AS offset_in_seq
         |FROM o ORDER BY doc_id""".stripMargin,
+    // pack2: pack1's flat-window offsets expanded to one row per
+    // (doc, sequence) via range(first_seq, last_seq+1), rolled up per
+    // sequence; overlap arithmetic is all BIGINT (every operand nonnegative,
+    // so // and div agree across engines)
+    "pack2_sequence_manifest" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS global_offset
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, n_tokens, global_offset,
+        |    CAST(global_offset // ${PackingOps.SeqLen} AS BIGINT) AS first_seq,
+        |    CAST((global_offset + n_tokens - 1) // ${PackingOps.SeqLen} AS BIGINT) AS last_seq
+        |  FROM o WHERE n_tokens > 0),
+        |x AS (
+        |  SELECT doc_id, n_tokens, global_offset, first_seq,
+        |    unnest(range(first_seq, last_seq + 1)) AS seq_id
+        |  FROM s)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN seq_id = first_seq THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(least((seq_id + 1) * ${PackingOps.SeqLen}, global_offset + n_tokens)
+        |       - greatest(seq_id * ${PackingOps.SeqLen}, global_offset)) AS BIGINT) AS tokens_filled
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     // ctn1: grams CTE shared with dd6/dd8's shape; eval side = doc_id % 97,
     // distinct eval grams LEFT-joined to training gram positions, per-doc
     // rollup via a doc_id LEFT join for totality over short docs
@@ -874,6 +936,49 @@ object SparkEntry {
         |FROM g LEFT JOIN c USING (doc_id)
         |WHERE g.doc_id % ${ContaminationOps.EvalMod} <> 0
         |ORDER BY g.doc_id""".stripMargin,
+    // ctn2: ctn1's gram CTE, flipped to the eval side — distinct hit grams
+    // and distinct colliding train docs per eval item; the pair frame is the
+    // (train grams ∩ eval grams) intersection in both engines
+    "ctn2_eval_contamination" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= ${DedupOps.DupGramK}
+        |         THEN list_transform(range(1, len(toks) - ${DedupOps.DupGramK - 2}),
+        |           i -> md5(array_to_string(list_slice(toks, i, i + ${DedupOps.DupGramK - 1}), ' ')))
+        |         ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM d),
+        |ev AS (SELECT doc_id, grams FROM g WHERE doc_id % ${ContaminationOps.EvalMod} = 0),
+        |tot AS (
+        |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |    CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams
+        |  FROM ev),
+        |eg AS (
+        |  SELECT DISTINCT doc_id AS eval_doc, h
+        |  FROM (SELECT doc_id, unnest(grams) AS h FROM ev)),
+        |tg AS (
+        |  SELECT DISTINCT doc_id AS train_doc, h
+        |  FROM (SELECT doc_id, unnest(grams) AS h FROM g
+        |        WHERE doc_id % ${ContaminationOps.EvalMod} <> 0)),
+        |p AS (SELECT eg.eval_doc, eg.h, tg.train_doc FROM eg JOIN tg USING (h)),
+        |hg AS (SELECT eval_doc, CAST(count(DISTINCT h) AS BIGINT) AS n_hit_grams
+        |       FROM p GROUP BY 1),
+        |hd AS (SELECT eval_doc, CAST(count(DISTINCT train_doc) AS BIGINT) AS n_train_docs
+        |       FROM p GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_grams, tot.n_distinct_grams,
+        |  coalesce(hg.n_hit_grams, 0) AS n_hit_grams,
+        |  coalesce(hd.n_train_docs, 0) AS n_train_docs,
+        |  CASE WHEN tot.n_distinct_grams = 0 THEN 0.0
+        |       ELSE round(CAST(coalesce(hg.n_hit_grams, 0) AS DOUBLE)
+        |            / tot.n_distinct_grams, 4) END AS hit_frac,
+        |  CASE WHEN coalesce(hg.n_hit_grams, 0) > 0 THEN 1 ELSE 0 END AS compromised
+        |FROM tot LEFT JOIN hg ON tot.doc_id = hg.eval_doc
+        |LEFT JOIN hd ON tot.doc_id = hd.eval_doc
+        |ORDER BY tot.doc_id""".stripMargin,
     // ds1: pipe1's quality CTEs verbatim, then the first-failing rule as an
     // index, the (source, md5) pre-aggregation, and the per-source rollup —
     // the keep/drop verdict is integer cross-multiplication in both engines

@@ -74,4 +74,68 @@ object ContaminationOps {
         (col("n_contaminated") > 0).cast("int").as("contaminated"))
       .orderBy("doc_id")
   }
+
+  /** ctn2: the eval-side mirror of [[decontaminate]] — per EVAL document,
+    * how compromised it is by the training corpus: `(doc_id, n_grams,
+    * n_distinct_grams, n_hit_grams, n_train_docs, hit_frac, compromised)`.
+    * `n_grams` counts gram positions (the ctn1 convention); hits count
+    * DISTINCT grams (a benchmark item is compromised once per unique gram,
+    * however often that gram repeats inside it); `n_train_docs` counts
+    * distinct training docs sharing ≥1 gram — the "how many training docs
+    * must be dropped to clean this eval item" measure of Lee et al. 2022
+    * §6.2. Short/empty eval docs pass through with zero grams, clean.
+    *
+    * Scale shape: the pair frame is (training gram positions ∩ eval grams) —
+    * bounded by actual contamination, not corpus size; built by
+    * broadcast-joining the tiny distinct eval-gram set into the training
+    * gram stream (the corpus side never shuffles for the join, ctn1's
+    * argument), then both distinct rollups are two-level groupBys keyed by
+    * the compound pair first — never a countDistinct Expand over corpus-
+    * scale data. Eval-sided frames (totals, gram→doc map, hit rollups) are
+    * all bounded by the eval suite's size.
+    */
+  def evalContamination(spark: SparkSession, dir: String): DataFrame =
+    evalContaminationOf(docs(spark, dir))
+
+  /** [[evalContamination]] over an explicit `(doc_id, text)` frame. */
+  def evalContaminationOf(d: DataFrame): DataFrame = {
+    val K = DedupOps.DupGramK
+    val mat = Par.spread(
+      d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks")))
+    val grams = when(size(col("toks")) >= K, DedupOps.gramHashes(col("toks")))
+      .otherwise(array().cast("array<string>"))
+    val withG = mat.select(col("doc_id"), grams.as("g"))
+    val isEval = col("doc_id") % EvalMod === 0
+    val evalTotals = withG.where(isEval)
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"))
+    val evalGramDoc = withG.where(isEval)
+      .select(col("doc_id").as("eval_doc"), col("g"))
+      .select(col("eval_doc"), explode(col("g")).as("h"))
+      .distinct()
+    val evalGrams = evalGramDoc.select("h").distinct()
+    val trainPairs = withG.where(!isEval)
+      .select(col("doc_id").as("train_doc"), col("g"))
+      .select(col("train_doc"), explode(col("g")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"))
+      .distinct()
+    val pairs = trainPairs.join(broadcast(evalGramDoc), Seq("h"))
+    val hitGrams = pairs.select("eval_doc", "h").distinct()
+      .groupBy("eval_doc").agg(count(lit(1)).as("n_hit_grams"))
+    val hitDocs = pairs.select("eval_doc", "train_doc").distinct()
+      .groupBy("eval_doc").agg(count(lit(1)).as("n_train_docs"))
+    val hits = hitGrams.join(broadcast(hitDocs), Seq("eval_doc"))
+      .withColumnRenamed("eval_doc", "doc_id")
+    evalTotals
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        when(col("n_distinct_grams") === 0, 0.0)
+          .otherwise(round(coalesce(col("n_hit_grams"), lit(0L)).cast("double")
+            / col("n_distinct_grams"), 4))
+          .as("hit_frac"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).cast("int").as("compromised"))
+      .orderBy("doc_id")
+  }
 }

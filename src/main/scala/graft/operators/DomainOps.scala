@@ -149,6 +149,45 @@ object DomainOps {
       .orderBy("source")
   }
 
+  /** ds5: per-source exact token-length distribution summary —
+    * `(source, n_docs, min_tokens, p50, p90, p99, max_tokens)`, with pN the
+    * ceiling-rank discrete percentile (the smallest length whose cumulative
+    * doc count reaches N% of the source's docs — integer cross-multiplied,
+    * `cum * 100 >= n * p`, so both engines agree bit-for-bit; no
+    * interpolation, whose float semantics differ between Spark's
+    * `percentile` and DuckDB's `quantile_cont`).
+    *
+    * Scale shape (why this is neither a per-source sort nor
+    * `percentile_approx`): token lengths are BOUNDED-cardinality (≤ the max
+    * document length in tokens, ~10^5 distinct values) — so aggregate to the
+    * `(source, n_tokens) → count` histogram first (high-cardinality compound
+    * key, map-side combined, skew-free: the ds1 argument), then run the
+    * cumulative window over the TINY per-source histogram. Exact percentiles
+    * at 10^12 docs for one corpus shuffle plus a window over
+    * #sources × #distinct-lengths rows.
+    */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    lengthPercentilesOf(docs(spark, dir))
+
+  /** [[lengthPercentiles]] over an explicit `(source, text)` frame. */
+  def lengthPercentilesOf(d: DataFrame): DataFrame = {
+    val hist = d.select(col("source"),
+        size(TextOps.tokensOf(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_tokens")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val cum = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+    def pct(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("n_tokens"))).as(s"p$p")
+    cum.groupBy("source")
+      .agg(max("n").as("n_docs"), min("n_tokens").as("min_tokens"),
+        pct(50), pct(90), pct(99), max("n_tokens").as("max_tokens"))
+      .orderBy("source")
+  }
+
   /** ds1: per-source profile — doc/distinct-text/dup counts, token totals,
     * Gopher-rule pass rate, reject-reason histogram, and the domain
     * keep/drop verdict (`boilerplate` checked before `low_quality`).

@@ -47,7 +47,15 @@ object PackingOps {
     sequenceOffsetsOf(docs(spark, dir))
 
   /** [[sequenceOffsets]] over an explicit `(doc_id, text)` frame. */
-  def sequenceOffsetsOf(d: DataFrame, bucketSize: Long = DefaultBucketSize): DataFrame = {
+  def sequenceOffsetsOf(d: DataFrame, bucketSize: Long = DefaultBucketSize): DataFrame =
+    offsetsCore(d, bucketSize).orderBy("doc_id")
+
+  /** The offsets plan WITHOUT the presentation sort — [[sequenceManifestOf]]
+    * aggregates right on top of it, and an inherited global orderBy would
+    * hand the optimizer a range-partition sort to (hopefully) eliminate
+    * below the aggregate; better to never declare it.
+    */
+  private def offsetsCore(d: DataFrame, bucketSize: Long): DataFrame = {
     // tokensOf, not an inline split: a NULL text would make the inline form
     // read size(null) = -1 (vs the oracle's coalesce-to-0), shifting every
     // later doc's offset (the qf1 null-contract lesson)
@@ -69,6 +77,48 @@ object PackingOps {
       .select(col("doc_id"), col("n_tokens"), col("global_offset"),
         expr(s"global_offset div $SeqLen").as("seq_id"),
         pmod(col("global_offset"), lit(SeqLen)).as("offset_in_seq"))
-      .orderBy("doc_id")
+  }
+
+  /** pack2: the per-sequence manifest of the [[sequenceOffsets]] layout —
+    * for every fixed-length training sequence, which documents place tokens
+    * in it: `(seq_id, n_docs, n_starts, first_doc, last_doc, tokens_filled)`.
+    * This is the attention-boundary metadata a packed-pretraining dataloader
+    * consumes (one row per SeqLen-token window; `n_starts` counts docs whose
+    * FIRST token lands here — cross-document attention masking needs the
+    * boundary positions, and `n_docs > 1` marks windows that mix documents).
+    * Every sequence is full (`tokens_filled == SeqLen`) except the last.
+    *
+    * Scale shape: a doc expands to `(last_seq - first_seq + 1)` rows via an
+    * explicit `sequence(first_seq, last_seq)` array — total expansion is
+    * corpus tokens / SeqLen plus one row per doc, i.e. LINEAR with a 1/2048
+    * constant; the rollup is a map-side-combined groupBy on the
+    * high-cardinality seq_id. The array is materialized in its own select
+    * BEFORE the explode (the Generate-hoist pitfall: non-generator
+    * expressions sharing a select with explode() are hoisted above the
+    * Generate and re-evaluated per exploded row).
+    */
+  def sequenceManifest(spark: SparkSession, dir: String): DataFrame =
+    sequenceManifestOf(docs(spark, dir))
+
+  /** [[sequenceManifest]] over an explicit `(doc_id, text)` frame. */
+  def sequenceManifestOf(d: DataFrame, bucketSize: Long = DefaultBucketSize): DataFrame = {
+    val spans = offsetsCore(d, bucketSize)
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("global_offset"),
+        col("seq_id").as("first_seq"),
+        sequence(col("seq_id"),
+          expr(s"(global_offset + n_tokens - 1) div $SeqLen")).as("seqs"))
+    spans
+      .select(col("doc_id"), col("n_tokens"), col("global_offset"), col("first_seq"),
+        explode(col("seqs")).as("seq_id"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("seq_id") === col("first_seq"), 1L).otherwise(0L)).as("n_starts"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        sum(least((col("seq_id") + 1) * SeqLen, col("global_offset") + col("n_tokens"))
+          - greatest(col("seq_id") * SeqLen, col("global_offset"))).as("tokens_filled"))
+      .orderBy("seq_id")
   }
 }

@@ -822,6 +822,86 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sequence manifest: per-sequence doc/boundary/fill counts on a boundary-crossing corpus") {
+    import spark.implicits._
+    // same planted corpus as the pack1 fixture: doc 5 (2050 tokens at offset
+    // 5) crosses the seq-0/seq-1 boundary; empty/null docs place no tokens
+    val d = Seq(
+      (0L, "a b c"), (1L, "d e"), (2L, null.asInstanceOf[String]), (3L, ""),
+      (5L, (1 to 2050).map(i => s"t$i").mkString(" ")),
+      (7L, "x"), (8L, "y z"), (12L, "w"))
+      .toDF("doc_id", "text")
+    val got = PackingOps.sequenceManifestOf(d, bucketSize = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // seq 0: docs 0,1,5 all START here (3+2+2043 = 2048 tokens, full);
+    // seq 1: doc 5 spills in (7 tokens), docs 7,8,12 start here (1+2+1)
+    val expected = Seq(
+      (0L, 3L, 3L, 0L, 5L, 2048L),
+      (1L, 4L, 3L, 5L, 12L, 11L))
+    assert(got.toSeq == expected, s"got=${got.mkString(", ")}")
+  }
+
+  test("sequence manifest: sf corpus conserves tokens and fills every non-final sequence") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val rows = PackingOps.sequenceManifestOf(d, bucketSize = 16L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val offs = PackingOps.sequenceOffsetsOf(d, bucketSize = 16L).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val totalTokens = offs.map(_._1).sum
+    assert(rows.map(_._4).sum == totalTokens, "manifest loses or double-counts tokens")
+    assert(rows.map(_._3).sum == offs.count(_._1 > 0), "n_starts must count non-empty docs once")
+    val lastSeq = rows.map(_._1).max
+    rows.filter(_._1 != lastSeq).foreach { case (sid, _, _, filled) =>
+      assert(filled == PackingOps.SeqLen, s"seq $sid not full: $filled")
+    }
+    // seq ids are dense from 0 (every window with tokens appears exactly once)
+    assert(rows.map(_._1).sorted.toSeq == (0L to lastSeq).toSeq, "seq ids not dense")
+  }
+
+  test("length percentiles: ceiling-rank semantics on planted histograms") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = (1 to 10).map(i => (i.toLong, "s", words(i))) ++      // lengths 1..10
+      Seq((11L, "t", words(2)), (12L, "t", words(2)),
+        (13L, "t", words(2)), (14L, "t", words(4)))               // ties: 2,2,2,4
+    val got = DomainOps.lengthPercentilesOf(d.toDF("doc_id", "source", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // s: n=10 -> p50 = smallest len with cum >= 5 -> 5; p90 -> 9; p99 -> 10
+    // t: n=4, hist {2:3, 4:1} -> p50: cum(2)=3, 300 >= 200 -> 2;
+    //    p90: 300 < 360 -> 4; p99: 300 < 396 -> 4
+    val expected = Seq(
+      ("s", 10L, 1L, 5L, 9L, 10L, 10L),
+      ("t", 4L, 2L, 2L, 4L, 4L, 4L))
+    assert(got.toSeq == expected, s"got=${got.mkString(", ")}")
+  }
+
+  test("eval contamination: distinct hit grams and train-doc blast radius per eval item") {
+    import spark.implicits._
+    val e = (1 to 12).map(i => s"e$i")
+    val d = Seq(
+      (97L, e.mkString(" ")),                          // eval: 5 grams e1..e12
+      (194L, (1 to 9).map(i => s"f$i").mkString(" ")), // eval: 2 grams, clean
+      (291L, "a b"),                                   // eval: too short, zero grams
+      (388L, ""),                                      // eval: empty stays visible
+      // train doc sharing grams (e2..e9),(e3..e10),(e4..e11) with eval 97
+      (10L, (Seq("x1", "x2") ++ e.slice(1, 11) ++ Seq("y1")).mkString(" ")),
+      (15L, e.slice(1, 9).mkString(" ")),              // exactly gram e2..e9 again
+      (11L, (1 to 10).map(i => s"c$i").mkString(" "))) // clean train doc
+      .toDF("doc_id", "text")
+    val got = ContaminationOps.evalContaminationOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6)))
+    // eval 97: 3 distinct grams hit (e2..e9 hit by BOTH train docs counts
+    // once), 2 distinct colliding train docs
+    val expected = Seq(
+      (97L, 5L, 5L, 3L, 2L, 0.6, 1),
+      (194L, 2L, 2L, 0L, 0L, 0.0, 0),
+      (291L, 0L, 0L, 0L, 0L, 0.0, 0),
+      (388L, 0L, 0L, 0L, 0L, 0.0, 0))
+    assert(got.toSeq == expected, s"got=${got.mkString(", ")}")
+  }
+
   test("quality filter: null text behaves as empty text (cross-engine contract)") {
     import spark.implicits._
     // without the tokensOf coalesce guard, Spark's size(null) = -1 while

@@ -162,6 +162,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning"), "corpus window must partition by bucket")
   }
 
+  test("length percentiles ride the histogram: two hash exchanges, no join, no sort-agg") {
+    // ds5 must aggregate to the (source, n_tokens) histogram FIRST (high-
+    // cardinality key, map-side combined) and only then window/rollup the
+    // tiny per-source frame — a per-source sort or percentile over raw docs
+    // would shuffle the corpus into low-cardinality source partitions
+    val p = plan(DomainOps.lengthPercentiles(spark, sf))
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange") && l.contains("hashpartitioning")
+        && !l.contains("ReusedExchange"))
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(hashEx == 2, s"ds5 has $hashEx hash exchanges (want 2: histogram + source window):\n${p.take(2500)}")
+    assert(scans == 1, s"ds5 scans documents $scans times (want 1):\n${p.take(2500)}")
+    assert(!p.contains("Join"), s"ds5 gained a join:\n${p.take(2500)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"ds5 funnels through a single partition:\n${p.take(2500)}")
+  }
+
+  test("sequence manifest keeps pack1's shape: one SinglePartition, broadcast join only") {
+    // pack2 = pack1's two-level prefix sum + a linear explode + one
+    // map-side-combined groupBy(seq_id); the only SinglePartition exchange
+    // is still the tiny bucket-sums window
+    val p = plan(PackingOps.sequenceManifest(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"pack2 lost the bucket-offset broadcast:\n${p.take(2500)}")
+    assert(!p.contains("SortMergeJoin"), s"pack2 shuffles the corpus for the join:\n${p.take(2500)}")
+    val single = p.linesIterator.count(l => l.contains("Exchange SinglePartition"))
+    assert(single <= 1, s"pack2 has $single SinglePartition exchanges (want <=1):\n${p.take(2500)}")
+    assert(p.contains("Generate"), "pack2 must expand (doc, seq) rows via a Generate")
+  }
+
+  test("eval contamination joins only via broadcast; the training corpus never shuffles for grams") {
+    // every join side in ctn2 is eval-bounded (distinct eval grams, the
+    // gram->eval-doc map, the per-eval-doc hit rollup) — a SortMergeJoin
+    // anywhere means corpus-scale gram rows paid a join shuffle
+    val p = plan(ContaminationOps.evalContamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"ctn2 lost the broadcasts:\n${p.take(2500)}")
+    assert(!p.contains("SortMergeJoin"), s"ctn2 shuffles for a join:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), s"ctn2 gained a cartesian:\n${p.take(2500)}")
+  }
+
   test("cut-dup-spans tokenizes the corpus once (checkpointed, zero re-scans)") {
     // pipe2's three consumers (gram-df branch, gram-positions branch, cut
     // join's corpus side) prune different columns, so lazy sharing re-scans
