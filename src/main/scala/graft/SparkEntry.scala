@@ -198,6 +198,12 @@ object SparkEntry {
     // eval-side contamination mirror: distinct hit grams + train-doc blast
     // radius per eval item (Lee et al. 2022 §6.2's removal measure)
     "ctn2_eval_contamination" -> (ContaminationOps.evalContamination _),
+    // per-source top-K characteristic terms with corpus lift — the TF-IDF-
+    // style domain card over one checkpointed (source, term) histogram
+    "vocab1_top_terms" -> (VocabOps.topTerms _),
+    // CCNet-style unigram-LM perplexity scoring: fit pass + score pass,
+    // broadcast model, union (not join) for empty-doc totality
+    "lm1_unigram_logprob" -> (VocabOps.unigramLogprob _),
     // deduplication
     "dd1_dedup_exact" -> (TextOps.dedupExact _),
     // bounded 500-doc probe window like dd3_09: dd2 is the exact small-scale
@@ -826,6 +832,59 @@ object SparkEntry {
         |  min(CASE WHEN cum * 100 >= n * 99 THEN n_tokens END) AS p99,
         |  max(n_tokens) AS max_tokens
         |FROM cw GROUP BY source ORDER BY source""".stripMargin,
+    // vocab1: same (source, term) histogram + rollups; rank ties break by
+    // term ascending in both engines; lift is double-divided then rounded
+    "vocab1_top_terms" ->
+      s"""WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        |  FROM documents),
+        |e AS (SELECT source, unnest(toks) AS term FROM t),
+        |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM e GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(tf) AS BIGINT) AS src_total
+        |       FROM tf GROUP BY 1),
+        |ct AS (SELECT term, CAST(sum(tf) AS BIGINT) AS corpus_tf
+        |       FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(src_total) AS BIGINT) AS corpus_total FROM st),
+        |r AS (SELECT source, term, tf,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY tf DESC, term) AS BIGINT) AS rank
+        |      FROM tf)
+        |SELECT r.source, r.rank, r.term, r.tf, st.src_total, ct.corpus_tf,
+        |  round((CAST(r.tf AS DOUBLE) / CAST(st.src_total AS DOUBLE))
+        |    / (CAST(ct.corpus_tf AS DOUBLE) / CAST(tot.corpus_total AS DOUBLE)), 4)
+        |    AS lift
+        |FROM r JOIN st USING (source) JOIN ct USING (term) CROSS JOIN tot
+        |WHERE r.rank <= ${VocabOps.TopK}
+        |ORDER BY r.source, r.rank""".stripMargin,
+    // lm1: identical add-one unigram model — ln of the SAME double division,
+    // rounded after the full-precision exp/ratio in both engines; empty docs
+    // come from the zero-token branch, not a doc_id join
+    "lm1_unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |v AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+        |s AS (SELECT CAST(sum(c) AS BIGINT) AS t_total,
+        |             CAST(count(*) AS BIGINT) AS v_size FROM v),
+        |m AS (SELECT term,
+        |        ln(CAST(c + 1 AS DOUBLE) / CAST(t_total + v_size AS DOUBLE)) AS lp
+        |      FROM v CROSS JOIN s),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         sum(lp) AS sum_lp
+        |       FROM e JOIN m USING (term) GROUP BY 1)
+        |SELECT doc_id, n_tokens, round(-sum_lp / n_tokens, 4) AS nll,
+        |  round(exp(-sum_lp / n_tokens), 4) AS ppl
+        |FROM sc
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT) AS n_tokens, 0.0 AS nll, 1.0 AS ppl
+        |FROM t WHERE len(toks) = 0
+        |ORDER BY doc_id""".stripMargin,
     // txt6: same lookahead-free patterns evaluated by DuckDB's RE2 — the
     // value check proves Java-regex and RE2 segmentation agree per class
     "txt6_bpe_tokens" ->

@@ -902,6 +902,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == expected, s"got=${got.mkString(", ")}")
   }
 
+  test("top terms: per-source rank, lift, and term-ascending tie-break") {
+    import spark.implicits._
+    // corpus: x4 y3 z3 a1 b1, total 12; s total 7, u total 3, v total 2
+    val d = Seq(("s", "x x x y z"), ("s", "y x"), ("u", "z z y"), ("u", ""),
+      ("v", "a b")).toDF("source", "text")
+    val got = VocabOps.topTermsOf(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // lift = (tf/src_total)/(corpus_tf/corpus_total); v's a/b tie on tf=1 and
+    // break by term ascending
+    val expected = Seq(
+      ("s", 1L, "x", 4L, 7L, 4L, 1.7143), ("s", 2L, "y", 2L, 7L, 3L, 1.1429),
+      ("s", 3L, "z", 1L, 7L, 3L, 0.5714),
+      ("u", 1L, "z", 2L, 3L, 3L, 2.6667), ("u", 2L, "y", 1L, 3L, 3L, 1.3333),
+      ("v", 1L, "a", 1L, 2L, 1L, 6.0), ("v", 2L, "b", 1L, 2L, 1L, 6.0))
+    assert(got.toSeq == expected, s"got=${got.mkString(", ")}")
+  }
+
+  test("unigram logprob: add-one model scores match direct math; empty docs total") {
+    import spark.implicits._
+    // vocab a:2 b:2 c:1 -> T=5, V=3; p(a)=p(b)=3/8, p(c)=2/8
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpA = math.log(3.0 / 8.0); val lpC = math.log(2.0 / 8.0)
+    val nll1 = -(3 * lpA) / 3; val nll2 = -(lpA + lpC) / 2
+    val got = VocabOps.unigramLogprobOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val expected = Seq(
+      (1L, 3L, r4(nll1), r4(math.exp(nll1))),
+      (2L, 2L, r4(nll2), r4(math.exp(nll2))),
+      (3L, 0L, 0.0, 1.0), (4L, 0L, 0.0, 1.0))
+    assert(got.toSeq == expected, s"got=${got.mkString(", ")}")
+  }
+
   test("quality filter: null text behaves as empty text (cross-engine contract)") {
     import spark.implicits._
     // without the tokensOf coalesce guard, Spark's size(null) = -1 while

@@ -201,6 +201,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"ctn2 gained a cartesian:\n${p.take(2500)}")
   }
 
+  test("top terms never re-scan the corpus: all rollups ride the checkpointed histogram") {
+    // vocab1's three rollups + top-K window all consume the ONE
+    // localCheckpoint'ed (source, term) frame — a FileScan in the final plan
+    // means a consumer re-derived it from parquet
+    val p = plan(VocabOps.topTerms(spark, sf))
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 0, s"vocab1 re-scans the corpus $scans times (want 0, checkpoint only):\n${p.take(2500)}")
+    assert(!p.contains("SortMergeJoin"), s"vocab1 shuffles a tiny frame for a join:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"), s"vocab1 lost its broadcasts:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), s"vocab1 gained a cartesian:\n${p.take(2500)}")
+  }
+
+  test("unigram logprob is two pruned passes: broadcast model, no doc_id join") {
+    // lm1 = fit pass (runs at checkpoint time) + score pass + the zero-token
+    // union branch: exactly 2 FileScans in the final plan, the model joins by
+    // broadcast, and totality comes from a union — never a corpus-scale
+    // doc_id SortMergeJoin
+    val p = plan(VocabOps.unigramLogprob(spark, sf))
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 2, s"lm1 has $scans FileScans (want 2: score pass + empty branch):\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"), s"lm1 lost the model broadcast:\n${p.take(2500)}")
+    assert(!p.contains("SortMergeJoin"), s"lm1 shuffles the corpus for a join:\n${p.take(2500)}")
+    val single = p.linesIterator.count(l => l.contains("Exchange SinglePartition"))
+    assert(single <= 1, s"lm1 has $single SinglePartition exchanges (want <=1, the 1-row T+V agg):\n${p.take(2500)}")
+  }
+
   test("cut-dup-spans tokenizes the corpus once (checkpointed, zero re-scans)") {
     // pipe2's three consumers (gram-df branch, gram-positions branch, cut
     // join's corpus side) prune different columns, so lazy sharing re-scans
