@@ -269,6 +269,10 @@ object SparkEntry {
     // pixels: CCL candidate proposal stands in for the neural forward, the
     // tails are the reference semantics; kind+box digests value-checked
     "mm5_detect_stages" -> (MultimodalOps.imageDetectStages _),
+    // perceptual-hash image near-dup detection: container re-encodes and a
+    // uniform re-exposure collide on the DCT phash (bytes differ), distinct
+    // scenes don't; dedup verdict = one window over the phash key
+    "mm6_phash_dupes" -> (MultimodalOps.imagePhashDupes _),
     // HTML boilerplate strip (north rule surface): wrap each doc's text in a
     // deterministic full page, strip it back with the DOM-heuristic kernel;
     // oracle is md5(text) straight off the source table — no side table
@@ -337,6 +341,18 @@ object SparkEntry {
         |  kind_digest, box_digest, sum_area
         |FROM read_parquet('${MultimodalOps.stageDetectOracleTable(sfDir, nDocsTable)}/*.parquet')
         |ORDER BY media_ref, stage""".stripMargin,
+    // mm6: the side table carries the sequentially recomputed per-image rows;
+    // the dedup verdict is RE-DERIVED here in SQL, so the window semantics
+    // (group size, min-ref keeper, dup flag) are value-checked cross-engine
+    "mm6_phash_dupes" ->
+      s"""WITH p AS (SELECT media_ref, format, width, height, phash, pix_hash
+        |  FROM read_parquet('${MultimodalOps.phashOracleTable(sfDir, nDocsTable)}/*.parquet'))
+        |SELECT media_ref, format, width, height, phash, pix_hash,
+        |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
+        |  min(media_ref) OVER (PARTITION BY phash) AS keeper,
+        |  CASE WHEN media_ref = min(media_ref) OVER (PARTITION BY phash)
+        |       THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS is_dup
+        |FROM p ORDER BY media_ref""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_price,

@@ -303,6 +303,67 @@ object MultimodalOps {
       .orderBy("media_ref", "stage")
   }
 
+  final case class PhashRow(media_ref: String, format: String, width: Int,
+                            height: Int, phash: String, pix_hash: Long)
+
+  /** Decode to luma via the mm2 path and fingerprint with the DCT
+    * perceptual hash (graft.kernel.Phash).
+    */
+  private def phashRow(r: MediaRow): PhashRow = {
+    val px = Image.decode(r.payload)
+    val expanded = if (px.channels == 1) Image.grayToRgb(px) else px
+    val luma = Image.gray(expanded)
+    PhashRow(r.media_ref, px.format, px.width, px.height,
+      graft.kernel.Phash.hex(graft.kernel.Phash.hash(luma, px.width, px.height)),
+      pixHash(luma))
+  }
+
+  def phashOracleTable(dir: String, n: Long): String = OracleSide.path("mm6_oracle_phash", dir, n)
+
+  /** mm6: perceptual-hash image near-dup detection — the multimodal mirror
+    * of dd1's exact text dedup. The corpus (GenData.nearDupImagePayload)
+    * plants the two dup classes a crawl actually serves: the same picture
+    * re-encoded in a different lossless container (bytes completely
+    * different, `pix_hash` equal) and a +1 re-exposure (bytes AND pixels
+    * different) — both land on the SAME `phash` by Phash's integer-mean
+    * construction, and distinct scenes don't. Per image: decoded dims +
+    * format, the perceptual hash, the byte-level pixel hash, and the dedup
+    * verdict over the phash group (`n_same`, keeper = min ref, `is_dup`).
+    *
+    * Scale shape: decode + hash ride the batched mapPartitions plumbing
+    * (CPU-dense, spread BEFORE synth); the dedup verdict is one window over
+    * the HIGH-cardinality phash key — one shuffle, no join, no skew (a
+    * pathological all-same-image corpus would hot-key exactly like dd1's
+    * exact-dup groupBy and gets the same salting answer). The driver-side
+    * oracle recomputes every row sequentially; the oracle SQL re-derives
+    * the group verdicts in DuckDB from the side table's per-image rows, so
+    * the window semantics are value-checked cross-engine too.
+    */
+  def imagePhashDupes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, min, when}
+    val refs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(concat(lit("pdup-doc-"), $"doc_id").as("media_ref"))
+      .as[String]
+    val side = phashOracleTable(dir, refs.count())
+    if (!OracleSide.exists(side)) {
+      val seq = refs.collect().sorted.toSeq
+        .map(ref => phashRow(MediaRow(ref, GenData.nearDupImagePayload(GenData.DefaultSeed, ref))))
+      spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
+    }
+    val rows = Par.spread(refs)
+      .map(ref => MediaRow(ref, GenData.nearDupImagePayload(GenData.DefaultSeed, ref)))
+      .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(phashRow)))
+      .toDF()
+    val w = Window.partitionBy("phash")
+    rows
+      .withColumn("n_same", count(lit(1)).over(w))
+      .withColumn("keeper", min(col("media_ref")).over(w))
+      .withColumn("is_dup", when(col("media_ref") === col("keeper"), 0L).otherwise(1L))
+      .orderBy("media_ref")
+  }
+
   /** mm4: ingestion over a payload mix that INCLUDES corrupt byte streams
     * (GenData.mixedPayload — truncation, lied magic, bit-rot, decode-bomb
     * headers). Bad records are quarantined per-row with a deterministic

@@ -227,6 +227,20 @@ class PlanSpec extends SparkSpec {
     assert(single <= 1, s"lm1 has $single SinglePartition exchanges (want <=1, the 1-row T+V agg):\n${p.take(2500)}")
   }
 
+  test("phash dedup verdict is one window over the phash key, no join") {
+    // mm6 = decode+hash in mapPartitions, then n_same/keeper/is_dup from a
+    // single window partitioned by the high-cardinality phash — one hash
+    // exchange, never a self-join back to the rows
+    val p = plan(MultimodalOps.imagePhashDupes(spark, sf))
+    assert(!p.contains("Join"), s"mm6 gained a join:\n${p.take(2500)}")
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange") && l.contains("hashpartitioning")
+        && !l.contains("ReusedExchange"))
+    assert(hashEx == 1, s"mm6 has $hashEx hash exchanges (want 1: the phash window):\n${p.take(2500)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"mm6 funnels through a single partition:\n${p.take(2500)}")
+  }
+
   test("cut-dup-spans tokenizes the corpus once (checkpointed, zero re-scans)") {
     // pipe2's three consumers (gram-df branch, gram-positions branch, cut
     // join's corpus side) prune different columns, so lazy sharing re-scans
