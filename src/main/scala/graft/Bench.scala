@@ -44,7 +44,7 @@ object Bench {
     "txt5_repetition", "txt6_bpe_tokens", "qf1_quality_filter", "pipe1_training_prep", "pipe2_cut_dups",
     "ds1_source_stats", "ds2_hash_split", "ds3_mix_plan", "ds4_mix_apply",
     "ds5_length_percentiles", "vocab1_top_terms", "lm1_unigram_logprob",
-    "ctn1_decontaminate", "ctn2_eval_contamination",
+    "ctn1_decontaminate", "ctn2_eval_contamination", "ctn3_bloom_decontaminate",
     "pack1_sequence_offsets", "pack2_sequence_manifest",
     "pipe3_cluster_keeper",
     "hx1_html_extract", "px1_pdf_extract",

@@ -198,6 +198,10 @@ object SparkEntry {
     // eval-side contamination mirror: distinct hit grams + train-doc blast
     // radius per eval item (Lee et al. 2022 §6.2's removal measure)
     "ctn2_eval_contamination" -> (ContaminationOps.evalContamination _),
+    // ctn1's answer by the BIG-eval-suite plan: distributed-built bloom
+    // prefilter (native expression) + shuffled exact verify — the corpus
+    // never shuffles and nothing corpus-scale is ever broadcast
+    "ctn3_bloom_decontaminate" -> (ContaminationOps.decontaminateBloom _),
     // per-source top-K characteristic terms with corpus lift — the TF-IDF-
     // style domain card over one checkpointed (source, term) histogram
     "vocab1_top_terms" -> (VocabOps.topTerms _),
@@ -296,7 +300,7 @@ object SparkEntry {
     // documents/embeddings.parquet row counts per driver sf (TESTDATA.md)
     val nDocsTable = if (sfDir.contains("sf0.1")) 5000L else 500L
     val nEmbTable = if (sfDir.contains("sf0.1")) 2000L else 500L
-    Map(
+    val base = Map(
     // the IVF index is approximate but DETERMINISTIC (fixed summation tree in
     // trainCentroids), so its single-threaded oracle reproduces it bit-exactly
     "sim2_ann_ivf" ->
@@ -1200,5 +1204,8 @@ object SparkEntry {
         |SELECT q_id, n_id, round(cos, 4) AS cos, rank
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     )
+    // ctn3 is ctn1 by a different (big-eval-suite) plan shape — the answer,
+    // and therefore the oracle SQL, is identical by construction
+    base + ("ctn3_bloom_decontaminate" -> base("ctn1_decontaminate"))
   }
 }

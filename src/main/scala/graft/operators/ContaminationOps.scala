@@ -75,6 +75,85 @@ object ContaminationOps {
       .orderBy("doc_id")
   }
 
+  /** ctn3: [[decontaminate]]'s answer by the BIG-eval-suite plan shape — the
+    * path a pipeline takes when the eval gram set has outgrown a broadcast
+    * hash join (a full eval harness is 10^7-10^9 grams; Spark caps broadcasts
+    * at 8 GB and autoBroadcastJoinThreshold far lower). Three-stage exact
+    * filter, the same posture as Spark's runtime row-level bloom pruning:
+    *
+    *  1. build a [[graft.expr.LongBloom]] over the distinct eval grams in one
+    *     distributed pass ([[graft.expr.BloomAgg]] — partials OR-merge, the
+    *     driver holds one bounded bit array);
+    *  2. prefilter the exploded training gram POSITIONS map-side with the
+    *     native [[graft.expr.BloomMightContain]] expression (whole-stage
+    *     codegen, no UDF boxing) — at real contamination rates this kills
+    *     ~everything, so the corpus-scale position stream never reaches a
+    *     shuffle;
+    *  3. EXACT verify: left-semi join the surviving positions against the
+    *     eval gram set, pinned to a SHUFFLED hash join (`hint("shuffle_hash")`
+    *     — at probe scale Spark would auto-broadcast the tiny eval side,
+    *     which is precisely the plan this operator exists to avoid; both join
+    *     inputs are bounded — survivors by true hits + the ~0.05% fp sliver,
+    *     the build side by the eval suite).
+    *
+    * Per-doc totals ride a separate map-side pass (doc_id, n_tokens, n_grams
+    * — no shuffle), and the tiny verified-hits rollup broadcasts back onto
+    * it, so the corpus itself never shuffles at all. Output is COLUMN- and
+    * VALUE-identical to [[decontaminate]] (asserted in OperatorsSpec); only
+    * the join strategy differs — which is the point: the bloom's false
+    * positives cost shuffle bytes, never correctness.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateBloomOf(docs(spark, dir))(spark)
+
+  /** [[decontaminateBloom]] over an explicit `(doc_id, text)` frame. */
+  def decontaminateBloomOf(d: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val K = DedupOps.DupGramK
+    val mat = Par.spread(
+      d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks")))
+    val grams = when(size(col("toks")) >= K, DedupOps.gramHashes(col("toks")))
+      .otherwise(array().cast("array<string>"))
+    // eval gram set: one corpus pass, materialized ONCE (localCheckpoint —
+    // the dd7 lesson) because three consumers need it: the sizing count, the
+    // bloom build, and the exact-verify join
+    val evalGrams = mat
+      .where(col("doc_id") % EvalMod === 0)
+      .select(explode(grams).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val nEval = evalGrams.count()
+    val bits = evalGrams.as[String]
+      .select(graft.expr.BloomAgg(graft.expr.LongBloom.wordsFor(nEval)).toColumn)
+      .head()
+    val bloom = new graft.expr.LongBloom(bits, graft.expr.LongBloom.K)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val mightContain = ColumnBridge.column(
+      graft.expr.BloomMightContain(ColumnBridge.expression(col("h")), bloom))
+    val isTrain = col("doc_id") % EvalMod =!= 0
+    // map-side-only totals pass: every training doc, no shuffle
+    val totals = mat.where(isTrain)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        grams.as("g"))
+      .select(col("doc_id"), col("n_tokens"), size(col("g")).cast("long").as("n_grams"))
+    // position stream → bloom prefilter → exact shuffled verify → tiny rollup
+    val hits = mat.where(isTrain)
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"), explode(col("g")).as("h"))
+      .where(mightContain)
+      .join(evalGrams.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    totals
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated"),
+        when(col("n_grams") === 0, 0.0)
+          .otherwise(round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_grams"), 4))
+          .as("contamination_frac"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** ctn2: the eval-side mirror of [[decontaminate]] — per EVAL document,
     * how compromised it is by the training corpus: `(doc_id, n_grams,
     * n_distinct_grams, n_hit_grams, n_train_docs, hit_frac, compromised)`.

@@ -364,6 +364,75 @@ object MultimodalOps {
       .orderBy("media_ref")
   }
 
+  final case class PhashBitsRow(media_ref: String, phash_bits: Long)
+
+  private def phashBitsRow(r: MediaRow): PhashBitsRow = {
+    val px = Image.decode(r.payload)
+    val expanded = if (px.channels == 1) Image.grayToRgb(px) else px
+    val luma = Image.gray(expanded)
+    PhashBitsRow(r.media_ref, graft.kernel.Phash.hash(luma, px.width, px.height))
+  }
+
+  /** Bands for mm7's Hamming-banded phash join: 8 bands × 8 bits over the
+    * 63-bit hash. Pigeonhole makes the banding EXACT for Hamming ≤ 7
+    * ([[MaxImageHamming]]): ≤7 differing bits cannot touch all 8 bands, so
+    * every qualifying pair shares at least one full band — candidate
+    * generation provably misses nothing, and the oracle can brute-force the
+    * same set.
+    */
+  final val HammingBands = 8
+  final val MaxImageHamming: Int = HammingBands - 1
+
+  def phashBandedOracleTable(dir: String, n: Long): String =
+    OracleSide.path("mm7_oracle_phash_bits", dir, n)
+
+  /** mm7: Hamming-banded perceptual near-dup pairs — the multimodal mirror of
+    * dd4's SimHash banding, and the scale path mm6's scaladoc promises for
+    * the LOSSY dup class: the corpus (GenData.hammingDupImagePayload) plants
+    * groups of four where three variants collide on the phash exactly (mm6's
+    * classes) and the fourth is a baseline-JPEG round trip of the same scene
+    * — per-block requantization moves decoded pixels slightly, so its hash
+    * lands a few bits off and exact grouping structurally misses it. Banding
+    * (one explode into [[HammingBands]] compact band keys, bucket self-join
+    * on the high-cardinality key, `ref_a < ref_b`, distinct, exact
+    * `bit_count(xor)` verify) recovers every pair at Hamming ≤
+    * [[MaxImageHamming]] — EXACTLY, by the pigeonhole argument above, which
+    * is what lets DuckDB value-check the output as a brute-force all-pairs
+    * scan over the side table. Never all-pairs on the Spark side: candidates
+    * are bounded by bucket occupancy (64 * 256 buckets here; a pathological
+    * single-scene corpus hot-keys like dd1 and gets the same salting answer).
+    */
+  def imagePhashBandedPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, bit_count, col, explode, shiftrightunsigned}
+    val refs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(concat(lit("hdup-doc-"), $"doc_id").as("media_ref"))
+      .as[String]
+    val side = phashBandedOracleTable(dir, refs.count())
+    if (!OracleSide.exists(side)) {
+      val seq = refs.collect().sorted.toSeq
+        .map(ref => phashBitsRow(MediaRow(ref, GenData.hammingDupImagePayload(GenData.DefaultSeed, ref))))
+      spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
+    }
+    val rows = Par.spread(refs)
+      .map(ref => MediaRow(ref, GenData.hammingDupImagePayload(GenData.DefaultSeed, ref)))
+      .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(phashBitsRow)))
+      .toDF()
+    val keys = (0 until HammingBands).map(b =>
+      (lit(b.toLong * 256L)
+        + shiftrightunsigned(col("phash_bits"), b * 8).bitwiseAND(lit(0xffL))).as(s"k$b"))
+    val chunks = rows.select(col("media_ref"), col("phash_bits"),
+      explode(array(keys: _*)).as("k"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.k") === col("b.k") && col("a.media_ref") < col("b.media_ref"))
+      .select(col("a.media_ref").as("ref_a"), col("b.media_ref").as("ref_b"),
+        bit_count(col("a.phash_bits").bitwiseXOR(col("b.phash_bits"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= MaxImageHamming)
+      .orderBy("ref_a", "ref_b")
+  }
+
   /** mm4: ingestion over a payload mix that INCLUDES corrupt byte streams
     * (GenData.mixedPayload — truncation, lied magic, bit-rot, decode-bomb
     * headers). Bad records are quarantined per-row with a deterministic

@@ -175,6 +175,42 @@ object GenData {
     }
   }
 
+  /** Hamming-near-dup image payload for one media_ref (mm7): refs with the
+    * same `id / 4` share ONE blob scene (keyed "hdup:<group>"); variants 0-2
+    * are mm6's exact-phash dup classes (PGM, +1-exposure PNG, BMP re-encode),
+    * and variant 3 is the lossy class mm6 documents as out of scope: a
+    * baseline-JPEG round trip of the same scene. JPEG re-quantizes per 8×8
+    * block, so decoded pixels move slightly and the DCT phash lands a FEW
+    * bits from the group's — within mm7's banding radius (pinned empirically
+    * at the fixed seed by PhashSpec), never exactly on it. Exact-equality
+    * grouping (mm6) structurally misses this variant; Hamming-banded
+    * matching recovers it.
+    */
+  def hammingDupImagePayload(seed: Long, mediaRef: String): Array[Byte] = {
+    val id = mediaRef.substring(mediaRef.lastIndexOf('-') + 1).toLong
+    val rng = SplitMix64.forKey(seed, "hdup:" + (id / 4))
+    val (w, h, cells) = stdCells(rng)
+    def rgb: Array[Byte] = {
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < cells.length) {
+        out(i * 3) = cells(i); out(i * 3 + 1) = cells(i); out(i * 3 + 2) = cells(i)
+        i += 1
+      }
+      out
+    }
+    (id % 4).toInt match {
+      case 0 => Image.encodePgm(w, h, cells)
+      case 1 =>
+        val shifted = new Array[Byte](cells.length)
+        var i = 0
+        while (i < cells.length) { shifted(i) = ((cells(i) & 0xff) + 1).toByte; i += 1 }
+        Image.encodePng(w, h, 1, shifted)
+      case 2 => Image.encodeBmp24(w, h, rgb)
+      case _ => Jpeg.encode(w, h, 1, cells)
+    }
+  }
+
   /** Ingestion-grade payload mix for one media_ref (mm4): mostly valid
     * [[imagePayload]] files, with a deterministic ~25% corrupted in four
     * distinct ways a 10^12-document crawl actually delivers — truncation

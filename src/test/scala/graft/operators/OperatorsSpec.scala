@@ -787,6 +787,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq, s"got=${got.mkString(", ")}")
   }
 
+  test("bloom decontamination reproduces ctn1 row-for-row on the hand frame and the sf corpus") {
+    import spark.implicits._
+    val e = (1 to 12).map(i => s"e$i")
+    val d = Seq(
+      (97L, e.mkString(" ")),
+      (194L, (1 to 9).map(i => s"f$i").mkString(" ")),
+      (10L, (Seq("x1", "x2") ++ e.slice(1, 11) ++ Seq("y1")).mkString(" ")),
+      (11L, (1 to 10).map(i => s"c$i").mkString(" ")),
+      (12L, "a b c d e"),
+      (13L, ""), (14L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    assert(ContaminationOps.decontaminateBloomOf(d).collect().toSeq ==
+      ContaminationOps.decontaminateOf(d).collect().toSeq)
+    val sfd = spark.read.parquet(s"$sf/documents.parquet")
+    assert(ContaminationOps.decontaminateBloomOf(sfd).collect().toSeq ==
+      ContaminationOps.decontaminateOf(sfd).collect().toSeq)
+  }
+
   test("sequence packing: two-level prefix sum equals the sequential cumsum across buckets") {
     import spark.implicits._
     // bucketSize=4 forces multiple buckets; sparse ids + an empty doc

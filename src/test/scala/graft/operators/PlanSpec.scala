@@ -151,6 +151,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"ctn1 shuffles the corpus for the join:\n${p.take(2000)}")
   }
 
+  test("bloom decontamination: shuffled exact verify, eval grams never broadcast") {
+    // ctn3 exists to be ctn1's plan when the eval side CANNOT broadcast: the
+    // verify join must be a shuffled hash join, the only broadcast is the
+    // tiny verified-hits back-join, and the bloom prefilter must sit in the
+    // plan (codegen predicate) ahead of it
+    val p = plan(ContaminationOps.decontaminateBloom(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), s"ctn3 verify join must be shuffled:\n${p.take(2500)}")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj == 1, s"ctn3 wants exactly 1 broadcast (hits back-join), got $bhj:\n${p.take(2500)}")
+    assert(p.contains("graft_bloom_contains"), s"ctn3 lost the bloom prefilter:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), s"ctn3 gained a cartesian:\n${p.take(2500)}")
+  }
+
   test("sequence packing never windows the corpus through a single partition") {
     // the corpus-side window must be partitioned by bucket; the only
     // SinglePartition exchange allowed is the tiny bucket-sums side
