@@ -53,7 +53,7 @@ object Bench {
     "dd8_dup_spans",
     "sim1_cosine_topk", "sim2_ann_ivf", "sim3_srp_lsh", "sim4_srp_banded", "sim5_semdedup",
     "mm1_media_meta", "mm2_image_meta", "mm3_image_detect", "mm4_decode_quarantine",
-    "mm5_detect_stages", "mm6_phash_dupes")
+    "mm5_detect_stages", "mm6_phash_dupes", "mm7_phash_banded")
 
   /** Fixed single-thread spin (800M xorshift steps), timed: a load-independent
     * unit of work whose wall time exposes the host's CURRENT deliverable CPU.

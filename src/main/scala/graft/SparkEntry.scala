@@ -277,6 +277,11 @@ object SparkEntry {
     // uniform re-exposure collide on the DCT phash (bytes differ), distinct
     // scenes don't; dedup verdict = one window over the phash key
     "mm6_phash_dupes" -> (MultimodalOps.imagePhashDupes _),
+    // Hamming-banded phash near-dup pairs (the lossy-JPEG class mm6's exact
+    // grouping structurally misses): 8x8-bit bands, bucket join, exact
+    // bit_count(xor) verify — pigeonhole-exact for Hamming<=7, so the
+    // DuckDB oracle brute-forces the identical set over the side table
+    "mm7_phash_banded" -> (MultimodalOps.imagePhashBandedPairs _),
     // HTML boilerplate strip (north rule surface): wrap each doc's text in a
     // deterministic full page, strip it back with the DOM-heuristic kernel;
     // oracle is md5(text) straight off the source table — no side table
@@ -357,6 +362,16 @@ object SparkEntry {
         |  CASE WHEN media_ref = min(media_ref) OVER (PARTITION BY phash)
         |       THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS is_dup
         |FROM p ORDER BY media_ref""".stripMargin,
+    // mm7: the banded join is pigeonhole-EXACT at Hamming<=7, so brute-force
+    // all-pairs over the sequentially recomputed side hashes is the same set
+    "mm7_phash_banded" ->
+      s"""WITH s AS (SELECT media_ref, phash_bits
+        |  FROM read_parquet('${MultimodalOps.phashBandedOracleTable(sfDir, nDocsTable)}/*.parquet'))
+        |SELECT a.media_ref AS ref_a, b.media_ref AS ref_b,
+        |  CAST(bit_count(xor(a.phash_bits, b.phash_bits)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.media_ref < b.media_ref
+        |WHERE bit_count(xor(a.phash_bits, b.phash_bits)) <= ${MultimodalOps.MaxImageHamming}
+        |ORDER BY 1, 2""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_price,

@@ -53,4 +53,22 @@ class PhashSpec extends AnyFunSuite {
     // the colliding variants are NOT byte-dups (different containers)
     assert(g4.map(_._2).distinct.size == 3, "variants should differ in encoded size")
   }
+
+  test("JPEG round-trip variant lands within the mm7 banding radius, never exactly") {
+    def hashOf(id: Long): Long = {
+      val bytes = GenData.hammingDupImagePayload(GenData.DefaultSeed, s"hdup-doc-$id")
+      val px = Image.decode(bytes)
+      val luma = Image.gray(if (px.channels == 1) Image.grayToRgb(px) else px)
+      Phash.hash(luma, px.width, px.height)
+    }
+    val dists = (0 until 100).map { g =>
+      val base = hashOf(g * 4L) // PGM variant: the group's exact phash
+      val jpeg = hashOf(g * 4L + 3)
+      java.lang.Long.bitCount(base ^ jpeg)
+    }
+    info(s"jpeg-vs-group hamming histogram: ${dists.groupBy(identity).view.mapValues(_.size).toMap.toSeq.sorted}")
+    assert(dists.max <= graft.operators.MultimodalOps.MaxImageHamming,
+      s"JPEG drift exceeds the banding radius: max=${dists.max}")
+    assert(dists.exists(_ > 0), "JPEG variant should NOT be an exact phash dup")
+  }
 }

@@ -787,6 +787,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq, s"got=${got.mkString(", ")}")
   }
 
+  test("phash banded pairs equal the brute-force Hamming scan (pigeonhole exactness)") {
+    import spark.implicits._
+    import graft.kernel.{Image, Phash}
+    import graft.pipeline.GenData
+    val got = MultimodalOps.imagePhashBandedPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // independent sequential path: decode + hash every image in plain Scala,
+    // brute-force ALL pairs (the in-JVM twin of the driver's DuckDB oracle)
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    val hashes = ids.map { id =>
+      val px = Image.decode(GenData.hammingDupImagePayload(GenData.DefaultSeed, s"hdup-doc-$id"))
+      val luma = Image.gray(if (px.channels == 1) Image.grayToRgb(px) else px)
+      (s"hdup-doc-$id", Phash.hash(luma, px.width, px.height))
+    }.sortBy(_._1)
+    val brute = (for {
+      i <- hashes.indices; j <- i + 1 until hashes.length
+      d = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
+      if d <= MultimodalOps.MaxImageHamming
+    } yield (hashes(i)._1, hashes(j)._1, d.toLong)).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // the corpus exercises both pair classes: exact collisions (containers,
+    // re-exposure, the generator's own scene-space dups) and inexact
+    // lossy-JPEG drifters strictly inside the radius
+    assert(got.exists(_._3 == 0L) && got.exists(_._3 > 0L))
+  }
+
   test("bloom decontamination reproduces ctn1 row-for-row on the hand frame and the sf corpus") {
     import spark.implicits._
     val e = (1 to 12).map(i => s"e$i")

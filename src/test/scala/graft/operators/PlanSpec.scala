@@ -151,6 +151,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"ctn1 shuffles the corpus for the join:\n${p.take(2000)}")
   }
 
+  test("phash banded pairs: bucket equi-join on the band key, never all-pairs") {
+    val p = plan(MultimodalOps.imagePhashBandedPairs(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"mm7 degenerated to all-pairs:\n${p.take(2500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"mm7 lost the band equi-join:\n${p.take(2500)}")
+  }
+
   test("bloom decontamination: shuffled exact verify, eval grams never broadcast") {
     // ctn3 exists to be ctn1's plan when the eval side CANNOT broadcast: the
     // verify join must be a shuffled hash join, the only broadcast is the
