@@ -41,6 +41,15 @@ object DomainOps {
   final val TestPermille = 10L
   final val ValPermille = 60L
 
+  /** The ds2 permille bucket of a `doc_id` — row-local, reshuffle-stable,
+    * engine-portable (the repo's polynomial rolling hash). Shared by ds2's
+    * split assignment and ds4's mixture sampling so both read the SAME
+    * bucket for a document by construction.
+    */
+  private def splitBucket: org.apache.spark.sql.Column = pmod(
+    DedupOps.polyHash(col("doc_id").cast("string"), DedupOps.HashB1, DedupOps.HashM1),
+    lit(SplitBuckets))
+
   /** ds2: deterministic train/val/test assignment by portable hash of the
     * doc_id — `(doc_id, source, bucket, split)`. The split survives
     * reshuffles, reruns, engine changes, and corpus growth (a doc's
@@ -55,10 +64,7 @@ object DomainOps {
 
   /** [[hashSplit]] over an explicit frame carrying `doc_id, source`. */
   def hashSplitOf(d: DataFrame): DataFrame = {
-    val bucket = pmod(
-      DedupOps.polyHash(col("doc_id").cast("string"), DedupOps.HashB1, DedupOps.HashM1),
-      lit(SplitBuckets))
-    d.select(col("doc_id"), col("source"), bucket.as("bucket"))
+    d.select(col("doc_id"), col("source"), splitBucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < TestPermille, "test")
           .when(col("bucket") < ValPermille, "val")
@@ -132,13 +138,10 @@ object DomainOps {
   def applyMixOf(d: DataFrame): DataFrame = {
     val plan = mixPlanOf(d)
       .select(col("source"), col("rate_permille"), col("est_tokens"))
-    val bucket = pmod(
-      DedupOps.polyHash(col("doc_id").cast("string"), DedupOps.HashB1, DedupOps.HashM1),
-      lit(SplitBuckets))
     val kept = col("bucket") < col("rate_permille")
     d.select(col("doc_id"), col("source"),
         size(TextOps.tokensOf(col("text"))).cast("long").as("n_tokens"),
-        bucket.as("bucket"))
+        splitBucket.as("bucket"))
       .join(broadcast(plan), Seq("source"))
       .groupBy("source", "rate_permille", "est_tokens")
       .agg(
