@@ -46,7 +46,7 @@ object Bench {
     "ds5_length_percentiles", "vocab1_top_terms", "lm1_unigram_logprob",
     "ctn1_decontaminate", "ctn2_eval_contamination", "ctn3_bloom_decontaminate",
     "pack1_sequence_offsets", "pack2_sequence_manifest",
-    "pipe3_cluster_keeper",
+    "pipe3_cluster_keeper", "pipe4_training_corpus",
     "hx1_html_extract", "px1_pdf_extract",
     "dd1_dedup_exact", "dd2_ngram_jaccard", "dd3_dedup_minhash09",
     "dd4_dedup_simhash", "dd5_dedup_embedding", "dd6_dup_ngrams", "dd7_dup_clusters",

@@ -175,6 +175,11 @@ object SparkEntry {
     // per-cluster canonical representative (longest member, tie min doc_id)
     // over dd7's clusters — the post-clustering keeper-selection stage
     "pipe3_cluster_keeper" -> (DedupOps.clusterKeeper _),
+    // the WHOLE recipe in one plan: quality -> eval exclusion -> exact-dedup
+    // keeper -> decontamination -> mixture sampling -> sequence packing;
+    // emits the packed layout of every surviving doc, oracle re-derives all
+    // six stages in SQL so the stage INTERFACES are value-checked too
+    "pipe4_training_corpus" -> (PipelineOps.trainingCorpus _),
     // deterministic train/val/test split by portable doc_id hash: row-local
     // (reshuffle/rerun/growth-stable), pure map, zero data shuffles
     "ds2_hash_split" -> (DomainOps.hashSplit _),
@@ -1088,6 +1093,82 @@ object SparkEntry {
         |  CASE WHEN dup_docs * 4 <= n_docs AND n_kept * 2 >= n_docs
         |       THEN 1 ELSE 0 END AS keep
         |FROM g2 ORDER BY source""".stripMargin,
+    // pipe4: the six-stage recipe recomputed end-to-end in SQL — pipe1's
+    // quality CTEs (source carried through), dd1's min-doc_id keeper window,
+    // ctn1's gram CTEs, ds3's integer rate arithmetic over the CLEAN corpus,
+    // ds2's portable polyhash bucket, pack1's flat-window prefix sum
+    "pipe4_training_corpus" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) END AS mtl,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks,
+        |                x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], lower(x)))) AS DOUBLE)
+        |              / len(toks) END AS stop_r,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dist_r,
+        |    CASE WHEN len(toks) < 2 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |                  i -> toks[i] || chr(1) || toks[i+1]))) AS DOUBLE)
+        |              / CAST(len(toks) - 1 AS DOUBLE) END AS dup2
+        |  FROM d),
+        |k AS (
+        |  SELECT doc_id, source, text, toks, n FROM s
+        |  WHERE NOT (n < 25 OR n > 100000 OR mtl < 3.0 OR mtl > 10.0
+        |             OR stop_r < 0.01 OR dist_r < 0.35 OR dup2 > 0.06)
+        |    AND doc_id % ${ContaminationOps.EvalMod} <> 0),
+        |kp AS (
+        |  SELECT doc_id, source, toks, n FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS kpr FROM k)
+        |  WHERE doc_id = kpr),
+        |e AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(toks) >= ${DedupOps.DupGramK}
+        |         THEN list_transform(range(1, len(toks) - ${DedupOps.DupGramK - 2}),
+        |           i -> md5(array_to_string(list_slice(toks, i, i + ${DedupOps.DupGramK - 1}), ' ')))
+        |         ELSE CAST([] AS VARCHAR[]) END) AS h
+        |  FROM d WHERE doc_id % ${ContaminationOps.EvalMod} = 0),
+        |cont AS (
+        |  SELECT DISTINCT kg.doc_id FROM (
+        |    SELECT doc_id, unnest(
+        |      CASE WHEN len(toks) >= ${DedupOps.DupGramK}
+        |           THEN list_transform(range(1, len(toks) - ${DedupOps.DupGramK - 2}),
+        |             i -> md5(array_to_string(list_slice(toks, i, i + ${DedupOps.DupGramK - 1}), ' ')))
+        |           ELSE CAST([] AS VARCHAR[]) END) AS h
+        |    FROM kp) kg JOIN e USING (h)),
+        |clean AS (
+        |  SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens FROM kp
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |src AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM clean GROUP BY 1),
+        |mn AS (SELECT min(src_tokens) AS m FROM src),
+        |r AS (
+        |  SELECT source, CAST(least(1000, m * 1000 // src_tokens) AS BIGINT) AS rate
+        |  FROM src, mn),
+        |smp AS (
+        |  SELECT cl.doc_id, cl.source, cl.n_tokens FROM clean cl JOIN r USING (source)
+        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(CAST(cl.doc_id AS VARCHAR)) + 1),
+        |        i -> CAST(ascii(substr(CAST(cl.doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, c) -> (a * ${DedupOps.HashB1} + c) % ${DedupOps.HashM1})
+        |      % ${DomainOps.SplitBuckets} < r.rate),
+        |o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS global_offset
+        |  FROM smp)
+        |SELECT doc_id, source, n_tokens, global_offset,
+        |  CAST(global_offset // ${PackingOps.SeqLen} AS BIGINT) AS seq_id,
+        |  CAST(global_offset % ${PackingOps.SeqLen} AS BIGINT) AS offset_in_seq
+        |FROM o ORDER BY doc_id""".stripMargin,
     "pipe1_training_prep" ->
       """WITH d AS (
         |  SELECT doc_id, text,

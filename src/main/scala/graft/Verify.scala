@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: a substring filter over query names, for iterating
+    // on one query locally (the driver always runs the full surface)
+    val (sfDir, outDir, nameFilter) = args match {
+      case Array(s, o)    => (s, o, "")
+      case Array(s, o, f) => (s, o, f)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus.toInt, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
@@ -13,7 +18,7 @@ object Verify {
     // written with the query's natural partitioning (the driver's compare
     // globs the directory) — no coalesce(1): single-task writes don't scale
     // and this was the last one in the repo (round-3 verdict item 8)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
       try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,6 +40,7 @@ object Verify {
     // thread the actual sf into the SQL so side-table sizes always match the
     // scale this run produced (static oracleSql is the sf0.01 instance)
     val json = SparkEntry.oracleSqlFor(sfDir)
+      .filter(_._1.contains(nameFilter))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

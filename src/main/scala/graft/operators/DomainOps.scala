@@ -46,7 +46,7 @@ object DomainOps {
     * split assignment and ds4's mixture sampling so both read the SAME
     * bucket for a document by construction.
     */
-  private def splitBucket: org.apache.spark.sql.Column = pmod(
+  private[operators] def splitBucket: org.apache.spark.sql.Column = pmod(
     DedupOps.polyHash(col("doc_id").cast("string"), DedupOps.HashB1, DedupOps.HashM1),
     lit(SplitBuckets))
 

@@ -55,13 +55,23 @@ object PackingOps {
     * hand the optimizer a range-partition sort to (hopefully) eliminate
     * below the aggregate; better to never declare it.
     */
-  private def offsetsCore(d: DataFrame, bucketSize: Long): DataFrame = {
+  private def offsetsCore(d: DataFrame, bucketSize: Long): DataFrame =
     // tokensOf, not an inline split: a NULL text would make the inline form
     // read size(null) = -1 (vs the oracle's coalesce-to-0), shifting every
     // later doc's offset (the qf1 null-contract lesson)
-    val nToks = size(TextOps.tokensOf(col("text"))).cast("long")
-    val base = d.select(col("doc_id"), nToks.as("n_tokens"),
-      expr(s"doc_id div $bucketSize").as("bkt"))
+    offsetsOverCounts(d.select(col("doc_id"),
+      size(TextOps.tokensOf(col("text"))).cast("long").as("n_tokens")), bucketSize)
+
+  /** The two-level distributed prefix sum over a PRE-COUNTED frame —
+    * `(doc_id, n_tokens, …carry)` in, the same plus `(global_offset, seq_id,
+    * offset_in_seq)` out, carry columns passed through untouched. Shared by
+    * [[offsetsCore]] (which derives counts by tokenizing) and pipe4's
+    * composed pipeline (whose survivor frame already carries counts).
+    */
+  private[operators] def offsetsOverCounts(
+      t: DataFrame, bucketSize: Long = DefaultBucketSize): DataFrame = {
+    val carry = t.columns.filterNot(Set("doc_id", "n_tokens")).map(col).toSeq
+    val base = t.withColumn("bkt", expr(s"doc_id div $bucketSize"))
     val bucketW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     val bucketOffsets = base
       .groupBy("bkt").agg(sum("n_tokens").as("bsum"))
@@ -71,12 +81,12 @@ object PackingOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     base
       .join(broadcast(bucketOffsets), "bkt")
-      .select(col("doc_id"), col("n_tokens"),
+      .select(Seq(col("doc_id"), col("n_tokens")) ++ carry :+
         (col("boff") + coalesce(sum("n_tokens").over(inBucketW), lit(0L)))
-          .as("global_offset"))
-      .select(col("doc_id"), col("n_tokens"), col("global_offset"),
+          .as("global_offset"): _*)
+      .select(Seq(col("doc_id"), col("n_tokens")) ++ carry ++ Seq(col("global_offset"),
         expr(s"global_offset div $SeqLen").as("seq_id"),
-        pmod(col("global_offset"), lit(SeqLen)).as("offset_in_seq"))
+        pmod(col("global_offset"), lit(SeqLen)).as("offset_in_seq")): _*)
   }
 
   /** pack2: the per-sequence manifest of the [[sequenceOffsets]] layout —

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus build — every pipeline stage this library
+  * implements, composed into ONE Catalyst plan the way a production run
+  * chains them (the C4/RefinedWeb/Pile recipe):
+  *
+  *   quality gate (Gopher rules, qf1) → eval-doc exclusion → exact-dedup
+  *   keeper (dd1) → benchmark decontamination (ctn1) → domain mixture
+  *   sampling (ds3/ds4) → sequence packing (pack1)
+  *
+  * pipe1/pipe2/pipe3/ds4 each prove a pairwise composition; pipe4 is the
+  * whole recipe, emitting the artifact a trainer actually consumes: the
+  * packed layout `(doc_id, source, n_tokens, global_offset, seq_id,
+  * offset_in_seq)` of every SURVIVING document. The DuckDB oracle recomputes
+  * all six stages in SQL, so the driver hash-check gates the full
+  * composition — stage interfaces included, not just each stage alone.
+  */
+object PipelineOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** pipe4: see the object doc. Stage order is part of the spec:
+    *
+    *  - eval docs (`doc_id % EvalMod == 0`) leave BEFORE dedup, so an eval
+    *    doc can never be the keeper of a training dup group;
+    *  - dedup keeps `min(doc_id)` per exact text among quality survivors
+    *    (dd1's convention) via ONE window over the high-cardinality text
+    *    hash — no self-join;
+    *  - decontamination re-tokenizes the keepers instead of carrying token
+    *    arrays through the dedup exchange: recomputing a map-side split is
+    *    cheaper at scale than shuffling `array<string>` payloads;
+    *    contaminated ids are bounded by actual contamination (ctn1's
+    *    argument) and leave via a broadcast anti-join;
+    *  - mixture rates are computed over the CLEAN corpus (equalize every
+    *    surviving domain to the smallest survivor's token budget — ds3's
+    *    integer arithmetic, no ds1 domain verdict: doc-level quality has
+    *    already run) and applied with ds2's row-local hash bucket;
+    *  - packing reuses pack1's two-level distributed prefix sum over the
+    *    already-counted survivor frame (no re-tokenize, no single-partition
+    *    corpus window).
+    *
+    * Corpus-scale exchanges: the dedup window, the pack bucket rollup + in-
+    * bucket window, and the presentation sort — everything else is map work,
+    * broadcasts, or frames bounded by #sources / contamination.
+    */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame =
+    trainingCorpusOf(docs(spark, dir))
+
+  /** [[trainingCorpus]] over an explicit `(doc_id, source, text)` frame. */
+  def trainingCorpusOf(d: DataFrame): DataFrame = {
+    val K = DedupOps.DupGramK
+    // 1. quality gate + eval exclusion (map-only)
+    val train = TextOps.qualityStats(d.select(col("doc_id"), col("source"), col("text")))
+      .where(col("keep") === 1 && col("doc_id") % ContaminationOps.EvalMod =!= 0)
+      .select(col("doc_id"), col("source"), col("text"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    // 2. exact-dedup keeper: one window over md5(text). The keeper frame is
+    // localCheckpoint-materialized ONCE (the dd8/vocab1 shared-consumer
+    // lesson): three consumers follow (the contamination gram stream, the
+    // mixture rollup, the sampling pass), and without the checkpoint each
+    // re-runs the quality+dedup subtree — including the window's exchange —
+    // from the scan. This is the stage boundary a production run writes to
+    // parquet anyway; the checkpoint is the one-plan analog.
+    val kw = Window.partitionBy(md5(col("text")))
+    val keepers = train
+      .withColumn("grp_keeper", min("doc_id").over(kw))
+      .where(col("doc_id") === col("grp_keeper"))
+      .drop("grp_keeper")
+      .localCheckpoint()
+    // 3. decontamination: eval grams from the RAW corpus (ctn1's eval-set
+    // definition), broadcast-semi-joined against the keepers' gram stream
+    val gramsOf = (toks: org.apache.spark.sql.Column) =>
+      when(size(toks) >= K, DedupOps.gramHashes(toks))
+        .otherwise(array().cast("array<string>"))
+    val evalGrams = d
+      .where(col("doc_id") % ContaminationOps.EvalMod === 0)
+      .select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
+      .select(explode(gramsOf(col("toks"))).as("h"))
+      .distinct()
+    val contaminated = keepers
+      .select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
+      .select(col("doc_id"), gramsOf(col("toks")).as("g"))
+      .select(col("doc_id"), explode(col("g")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val clean = keepers
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_tokens")
+    // 4. mixture: equalize surviving domains to the smallest survivor
+    val perSrc = clean.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val minTok = perSrc.agg(min("src_tokens").as("min_tokens"))
+    // #sources rows, materialized once: the sampled frame below feeds pack1's
+    // two-pass prefix sum, and an unmaterialized rates subtree (with its
+    // 1-row min aggregate) would be re-evaluated per pass
+    val rates = perSrc.crossJoin(broadcast(minTok))
+      .select(col("source"),
+        least(lit(1000L), expr("min_tokens * 1000 div src_tokens")).as("rate_permille"))
+      .localCheckpoint()
+    val sampled = clean
+      .join(broadcast(rates), Seq("source"))
+      .where(DomainOps.splitBucket < col("rate_permille"))
+    // 5. pack the final corpus (counts already present — no re-tokenize)
+    PackingOps.offsetsOverCounts(
+        sampled.select(col("doc_id"), col("n_tokens"), col("source")))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("global_offset"), col("seq_id"), col("offset_in_seq"))
+      .orderBy("doc_id")
+  }
+}

@@ -787,6 +787,36 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq, s"got=${got.mkString(", ")}")
   }
 
+  test("pipe4 composition is consistent with every standalone stage operator") {
+    import spark.implicits._
+    val out = PipelineOps.trainingCorpus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    // stage 1+1b: every survivor passed qf1's gate and is not an eval doc
+    val keepIds = TextOps.qualityFilter(spark, sf).where(col("keep") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(keepIds), s"non-quality doc in pipe4: ${(ids -- keepIds).take(3)}")
+    assert(ids.forall(_ % ContaminationOps.EvalMod != 0))
+    // stage 2: survivors carry pairwise-distinct texts (exact dedup held)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .select(md5(col("text"))).as[String].collect()
+    assert(texts.length == texts.distinct.length, "duplicate text survived pipe4")
+    // stage 3: ctn1 agrees every survivor is clean
+    val contaminatedIds = ContaminationOps.decontaminate(spark, sf)
+      .where(col("contaminated") === 1).select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(contaminatedIds).isEmpty,
+      s"contaminated doc survived: ${ids.intersect(contaminatedIds).take(3)}")
+    // stage 5: offsets are the sequential fold of the surviving rows
+    var run = 0L
+    out.sortBy(_._1).foreach { case (id, _, n, off, seqId, offIn) =>
+      assert(off == run, s"doc $id offset $off != fold $run")
+      assert(seqId == off / PackingOps.SeqLen && offIn == off % PackingOps.SeqLen)
+      run += n
+    }
+  }
+
   test("phash banded pairs equal the brute-force Hamming scan (pigeonhole exactness)") {
     import spark.implicits._
     import graft.kernel.{Image, Phash}

@@ -151,6 +151,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"ctn1 shuffles the corpus for the join:\n${p.take(2000)}")
   }
 
+  test("pipe4: the full recipe composes without a corpus shuffle-join") {
+    // six stages in one plan: joins must all be broadcast (contaminated ids,
+    // rates, bucket offsets, the 1-row min crossed in); the only
+    // SinglePartition exchanges are pack1's bucket sums and the 1-row
+    // aggregates — never the corpus
+    val p = plan(PipelineOps.trainingCorpus(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"pipe4 gained a cartesian:\n${p.take(2500)}")
+    assert(!p.contains("SortMergeJoin"), s"pipe4 shuffles the corpus for a join:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"), s"pipe4 lost its broadcasts:\n${p.take(2500)}")
+    val single = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 2,
+      s"pipe4 has $single SinglePartition exchanges (want <=2, bucket sums + 1-row min):\n${p.take(3000)}")
+  }
+
   test("phash banded pairs: bucket equi-join on the band key, never all-pairs") {
     val p = plan(MultimodalOps.imagePhashBandedPairs(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
