@@ -45,8 +45,8 @@ object ContaminationOps {
     // (TextOps.tokensOf null contract) and pass through with a clean
     // verdict, so an inner-join consumer of the flag table never loses a
     // doc; Par.spread because the gram md5s are CPU-dense (dd8's argument)
-    val mat = Par.spread(
-      d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks")))
+    val mat = Par.spread(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
     val grams = when(size(col("toks")) >= K, DedupOps.gramHashes(col("toks")))
       .otherwise(array().cast("array<string>"))
     val evalGrams = mat
@@ -110,8 +110,8 @@ object ContaminationOps {
   def decontaminateBloomOf(d: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val K = DedupOps.DupGramK
-    val mat = Par.spread(
-      d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks")))
+    val mat = Par.spread(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
     val grams = when(size(col("toks")) >= K, DedupOps.gramHashes(col("toks")))
       .otherwise(array().cast("array<string>"))
     // eval gram set: one corpus pass, materialized ONCE (localCheckpoint —
@@ -179,8 +179,8 @@ object ContaminationOps {
   /** [[evalContamination]] over an explicit `(doc_id, text)` frame. */
   def evalContaminationOf(d: DataFrame): DataFrame = {
     val K = DedupOps.DupGramK
-    val mat = Par.spread(
-      d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks")))
+    val mat = Par.spread(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
     val grams = when(size(col("toks")) >= K, DedupOps.gramHashes(col("toks")))
       .otherwise(array().cast("array<string>"))
     val withG = mat.select(col("doc_id"), grams.as("g"))

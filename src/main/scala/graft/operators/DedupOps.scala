@@ -54,26 +54,43 @@ object DedupOps {
   /** Horner-rule polynomial hash of a string column, mod m — O(len) integer
     * arithmetic both Spark and DuckDB evaluate identically (codepoints via
     * ascii(), left-to-right fold, no wrapping overflow: acc < m <= 1e9 so
-    * acc*b + c < 2^63). Callers must exclude empty strings (sequence(1, 0)
-    * would yield a DESCENDING range).
+    * acc*b + c < 2^63). Native codegen expression (graft.expr.PolyHash):
+    * the former `aggregate(sequence(1, length(s)), ...)` HOF evaluated an
+    * interpreted expression tree per CHARACTER and allocated a boxed
+    * position array per token — the dominant CPU in the simhash family
+    * (dd4/dd7/pipe3 hash every token twice). Value-identical by the
+    * code-point walk (TextHash scaladoc; NativeTextHashSpec asserts parity
+    * against the HOF tree, zh/CJK included).
     */
   private[operators] def polyHash(s: Column, b: Long, m: Long): Column =
-    aggregate(sequence(lit(1), length(s)), lit(0L),
-      (acc, i) => (acc * b + ascii(s.substr(i, lit(1)))) % m)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.PolyHash(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(s), b, m))
 
-  /** Distinct character-trigram shingle hashes per doc. */
+  /** Character-trigram shingle hashes per doc, WITH duplicates: every
+    * consumer below is itself a dedupe (min-aggregation ignores repeats,
+    * collect_set is a set), so the former `.distinct()` here only added a
+    * full (doc_id, h) exchange — and, worse, pushed the CPU-dense 64-hash
+    * partial aggregation BEHIND that exchange, where AQE's byte-based
+    * coalescing serialized it onto 1-2 tasks (~2.6 s single-task at sf0.1).
+    * Without it the partial min/collect_set aggregates run map-side in the
+    * spread scan stage (a doc's grams never split across partitions — the
+    * explode happens after the doc-level spread), and only per-doc partials
+    * reach the exchange.
+    */
   private[operators] def shingleHashes(d: DataFrame): DataFrame = {
     val grams = when(length(col("text")) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), length(col("text")) - 2),
         i => col("text").substr(i, lit(3))))
-    d.select(col("doc_id"), explode(grams).as("g"))
+    Par.spread(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(grams).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
-      .distinct()
   }
 
   /** doc_id -> 64-long minhash signature as one row of 64 min-agg columns.
     * The i-th "permutation" is xxhash64(i, shingleHash) — codegen'd, no
-    * multiply-overflow under ANSI mode, independent per i.
+    * multiply-overflow under ANSI mode, independent per i. Input may carry
+    * duplicate (doc_id, h) rows: min() is dedupe-invariant.
     */
   private[operators] def signatures(sh: DataFrame): DataFrame = {
     val minCols: Seq[Column] = (0 until NumPerms).map { i =>
@@ -104,7 +121,17 @@ object DedupOps {
 
   def minHashPairs(d: DataFrame, minJaccard: Double): DataFrame = {
     val sh = shingleHashes(d)
-    val sig = signatures(sh)
+    // ONE corpus pass computes BOTH per-doc artifacts (the 64 signature mins
+    // and the distinct shingle set) in a single aggregate, materialized once:
+    // the band self-join, the two est-sim joins, and the two verify joins
+    // each re-planned the whole shingle pipeline before (a broadcast build
+    // side never reuses the probe side's exchange — the mm7/dd4 lesson), so
+    // the gram explode + 64 xxhash64 stream ran up to 4x per query.
+    val perDoc = sh.groupBy("doc_id")
+      .agg(collect_set(col("h")).as("hs"),
+        (0 until NumPerms).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
+      .localCheckpoint()
+    val sig = perDoc
       .withColumn("sig", array((0 until NumPerms).map(i => col(s"m$i")): _*))
       .select("doc_id", "sig")
     val bands = sig.select(col("doc_id"),
@@ -129,7 +156,7 @@ object DedupOps {
     // candidates whose estimated similarity is far below the gate. Slack is
     // 0.3 = 4.9 sigma at 64 perms (sigma <= sqrt(0.25/64) ~ 0.0625), so the
     // probability a true gate-level pair is dropped here is ~5e-7.
-    val sets = sh.groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+    val sets = perDoc.select("doc_id", "hs")
     withEst
       .where(col("est_sim") >= minJaccard - 0.3)
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
@@ -147,7 +174,11 @@ object DedupOps {
     * Empty tokens are excluded (empty text yields no signature).
     */
   def simHashSignatures(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"),
+    // spread the RAW text rows: the per-token polynomial hashing below is
+    // the CPU-dense stage (two Horner folds per token), and a single-split
+    // scan would serialize it (the Par rule — no-op at production splits)
+    val toks = Par.spread(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .where(col("tok") =!= "")
       .select(col("doc_id"),
@@ -194,7 +225,13 @@ object DedupOps {
     * the SET (dd7's connected components) skip the global range sort.
     */
   private[operators] def simHashPairsUnsorted(d: DataFrame): DataFrame = {
-    val sig = simHashSignatures(d)
+    // materialize the (doc_id, simhash) frame ONCE: the band self-join's
+    // broadcast build side cannot reuse the probe side's exchange (it is a
+    // BroadcastExchange over an identical subtree, not a shuffle), so the
+    // whole tokenize + polyhash + 60-bitsum pipeline ran TWICE per query
+    // before (verified in the dd4 physical plan: two full Scan->Generate->
+    // HashAggregate chains). The checkpoint is one signature row per doc.
+    val sig = simHashSignatures(d).localCheckpoint()
     val chunks = sig.select(col("doc_id"), col("simhash"),
       explode(array(simHashKeys(col("simhash")): _*)).as("k"))
     chunks.as("a")
@@ -347,8 +384,13 @@ object DedupOps {
     * real column first (re-evaluation pitfall, TextOps.repetitionStats).
     */
   private[operators] def gramHashes(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - (DupGramK - 1)),
-      i => md5(array_join(slice(toks, i, lit(DupGramK)), " ")))
+    // native codegen expression: the former transform(sequence(...),
+    // md5(array_join(slice(...)))) HOF ran interpreted per gram and
+    // re-sliced + re-joined the window each time; one MessageDigest now
+    // streams each window's bytes (value-identical — NativeTextHashSpec)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.GramMd5s(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks), DupGramK))
 
   /** Cross-document duplicated-n-gram coverage (the distributed signal behind
     * exact-substring dedup, Lee et al. 2022 "Deduplicating Training Data
@@ -371,7 +413,7 @@ object DedupOps {
     // md5-hashes every gram of every doc, exactly the CPU-dense work the
     // single-split guard exists for (review fix: the former inline copy
     // skipped the spread and serialized the corpus onto one task)
-    val mat = tokenized(docs(spark, dir), DupGramK)
+    val mat = tokenized(docs(spark, dir))
     val grams = gramHashes(col("toks"))
     val g = mat
       .select(col("doc_id"), explode(array_distinct(grams)).as("h"))
@@ -415,7 +457,7 @@ object DedupOps {
   /** [[dupSpans]] over an explicit `(doc_id, text)` frame. */
   def dupSpansOf(d: DataFrame): DataFrame = {
     // same three-consumer fan-out as pipe2: materialize the tokens once
-    val mat = tokenized(d, DupGramK).localCheckpoint()
+    val mat = tokenized(d).localCheckpoint()
     dupRunsOf(mat).join(mat, "doc_id")
       .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"),
         md5(array_join(
@@ -429,11 +471,20 @@ object DedupOps {
     * over a raw split(...) re-evaluate the split per element access), spread
     * across cores when the scan arrives single-split (Par scaladoc).
     */
-  private[operators] def tokenized(d: DataFrame, minToks: Int): DataFrame =
+  private[operators] def tokenized(d: DataFrame): DataFrame =
+    // spread the RAW rows and tokenize AFTER the exchange: with the split
+    // inside the spread's child it ran in the pre-shuffle map stage — i.e.
+    // on the single scan task — and the shuffle then carried the fatter
+    // token arrays instead of the source text. The former `size(toks) >=
+    // minToks` post-split filter is gone: Catalyst pushed it (rewritten
+    // over split(...)) below the spread exchange, re-serializing a full
+    // tokenize pass on the scan task — and it was redundant anyway, since
+    // gramHashes yields the empty array below K tokens and every consumer's
+    // explode/join then drops the row identically.
     Par.spread(d
       .where(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .where(size(col("toks")) >= minToks))
 
   /** The maximal duplicated runs `(doc_id, span_start, span_end,
     * span_tokens)` over a [[tokenized]] frame — the shared core of dd8 (which
@@ -488,7 +539,7 @@ object DedupOps {
     // the text-sized (doc_id, toks) frame collapses them to one scan — the
     // sim5/dd7 shared-iterate pattern (reliable `checkpoint` on a cluster);
     // the gram-eligible frame is a size filter over the same materialization
-    val all = tokenized(d, 1).localCheckpoint()
+    val all = tokenized(d).localCheckpoint()
     val spansByDoc = dupRunsOf(all.where(size(col("toks")) >= DupGramK))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),

@@ -139,7 +139,10 @@ object DomainOps {
     val plan = mixPlanOf(d)
       .select(col("source"), col("rate_permille"), col("est_tokens"))
     val kept = col("bucket") < col("rate_permille")
-    d.select(col("doc_id"), col("source"),
+    // the second corpus pass tokenizes + hash-buckets every doc — spread it
+    // like the ds1 pass (no-op at production split counts)
+    Par.spread(d.select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"),
         size(TextOps.tokensOf(col("text"))).cast("long").as("n_tokens"),
         splitBucket.as("bucket"))
       .join(broadcast(plan), Seq("source"))
@@ -174,7 +177,9 @@ object DomainOps {
 
   /** [[lengthPercentiles]] over an explicit `(source, text)` frame. */
   def lengthPercentilesOf(d: DataFrame): DataFrame = {
-    val hist = d.select(col("source"),
+    // spread the raw rows; tokenize after the exchange (Par scaladoc)
+    val hist = Par.spread(d.select(col("source"), col("text")))
+      .select(col("source"),
         size(TextOps.tokensOf(col("text"))).cast("long").as("n_tokens"))
       .groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
     val wCum = org.apache.spark.sql.expressions.Window
@@ -200,7 +205,10 @@ object DomainOps {
 
   /** [[sourceStats]] over an explicit `(doc_id, source, text)` frame. */
   def sourceStatsOf(d: DataFrame): DataFrame = {
-    val st = TextOps.qualityStats(d.select(col("doc_id"), col("source"), col("text")))
+    // Par.spread of the raw rows: the quality-rule HOFs + md5 ran on the
+    // single scan task before (no-op at production split counts)
+    val st = TextOps.qualityStats(
+      Par.spread(d.select(col("doc_id"), col("source"), col("text"))))
     val perText = st
       .groupBy(col("source"), md5(col("text")).as("h"))
       .agg(count(lit(1)).as("c"),

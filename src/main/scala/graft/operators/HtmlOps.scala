@@ -26,15 +26,18 @@ object HtmlOps {
 
   def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Par.spread(spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)])
+    // range-spread on the sort key (Par scaladoc): the render+parse kernel
+    // runs once — the final orderBy's range sampler re-executed it before —
+    // and the exchange moves source rows, not rendered output
+    Par.rangeSpread(spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .map { case (id, text) =>
         (id, Html.mainContent(GenData.htmlPayload(GenData.DefaultSeed, id, text)))
       }
       .toDF("doc_id", "content")
       .select(col("doc_id"), length(col("content")).as("content_len"),
         md5(col("content")).as("content_md5"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 }

@@ -221,11 +221,15 @@ object MultimodalOps {
         .map(ref => decodeMeta(MediaRow(ref, GenData.payload(GenData.DefaultSeed, ref))))
       spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
     }
-    val media = Par.spread(refs).map(ref => MediaRow(ref, GenData.payload(GenData.DefaultSeed, ref)))
+    // range-spread on the sort key (Par scaladoc): synth+decode run once —
+    // the final orderBy's range sampler re-executed them before — and the
+    // exchange moves short ref strings, never payloads
+    val media = Par.rangeSpread(refs.toDF(), $"media_ref")
+      .as[String].map(ref => MediaRow(ref, GenData.payload(GenData.DefaultSeed, ref)))
     media
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(decodeMeta)))
       .toDF()
-      .orderBy("media_ref")
+      .sortWithinPartitions("media_ref")
   }
 
   /** mm2: the same plumbing over REAL image-format payloads (BMP/PGM/PPM
@@ -245,13 +249,16 @@ object MultimodalOps {
         .map(ref => decodeImageMeta(MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref))))
       spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
     }
-    // spread BEFORE the payload synth/decode: only the short ref strings
-    // shuffle, the CPU-dense work lands evenly on every core
-    val media = Par.spread(refs).map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
+    // range-spread BEFORE the payload synth/decode (Par scaladoc): only the
+    // short ref strings shuffle, the CPU-dense work lands evenly on every
+    // core, and the decode runs ONCE (the orderBy's range sampler
+    // re-executed the whole synth+decode pass before)
+    val media = Par.rangeSpread(refs.toDF(), $"media_ref")
+      .as[String].map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
     media
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(decodeImageMeta)))
       .toDF()
-      .orderBy("media_ref")
+      .sortWithinPartitions("media_ref")
   }
 
   /** mm3: real decode + resize policy + detection + coordinate
@@ -271,10 +278,11 @@ object MultimodalOps {
         .map(ref => detectOnImage(MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref))))
       spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
     }
-    Par.spread(refs).map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
+    Par.rangeSpread(refs.toDF(), $"media_ref")
+      .as[String].map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(detectOnImage)))
       .toDF()
-      .orderBy("media_ref")
+      .sortWithinPartitions("media_ref")
   }
 
   def stageDetectOracleTable(dir: String, n: Long): String = OracleSide.path("mm5_oracle_stages", dir, n)
@@ -297,10 +305,11 @@ object MultimodalOps {
         .flatMap(ref => detectStages(MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref))))
       spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
     }
-    Par.spread(refs).map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
+    Par.rangeSpread(refs.toDF(), $"media_ref")
+      .as[String].map(ref => MediaRow(ref, GenData.imagePayload(GenData.DefaultSeed, ref)))
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.flatMap(detectStages)))
       .toDF()
-      .orderBy("media_ref", "stage")
+      .sortWithinPartitions("media_ref", "stage")
   }
 
   final case class PhashRow(media_ref: String, format: String, width: Int,
@@ -420,10 +429,16 @@ object MultimodalOps {
         .map(ref => phashBitsRow(MediaRow(ref, GenData.hammingDupImagePayload(GenData.DefaultSeed, ref))))
       spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
     }
+    // materialize the decoded hashes ONCE: the band self-join's broadcast
+    // build side re-ran the whole synth+decode+phash pipeline before (a
+    // BroadcastExchange over an identical subtree is never reused against
+    // the probe side — verified in the round-6 before-plan: two full
+    // Scan->Exchange->MapPartitions chains)
     val rows = Par.spread(refs)
       .map(ref => MediaRow(ref, GenData.hammingDupImagePayload(GenData.DefaultSeed, ref)))
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map(phashBitsRow)))
       .toDF()
+      .localCheckpoint()
     val keys = (0 until HammingBands).map(b =>
       (lit(b.toLong * 256L)
         + shiftrightunsigned(col("phash_bits"), b * 8).bitwiseAND(lit(0xffL))).as(s"k$b"))
@@ -460,13 +475,14 @@ object MultimodalOps {
       spark.createDataFrame(seq).write.mode("overwrite").parquet(side)
     }
     val quarantined = spark.sparkContext.longAccumulator("graft.mm4.quarantined")
-    Par.spread(refs).map(ref => MediaRow(ref, GenData.mixedPayload(GenData.DefaultSeed, ref)))
+    Par.rangeSpread(refs.toDF(), $"media_ref")
+      .as[String].map(ref => MediaRow(ref, GenData.mixedPayload(GenData.DefaultSeed, ref)))
       .mapPartitions(_.grouped(graft.schema.Params.BatchSize).flatMap(_.map { r =>
         val row = quarantineMeta(r)
         if (row.status != "ok") quarantined.add(1L)
         row
       }))
       .toDF()
-      .orderBy("media_ref")
+      .sortWithinPartitions("media_ref")
   }
 }

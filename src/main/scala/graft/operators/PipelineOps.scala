@@ -54,10 +54,22 @@ object PipelineOps {
   /** [[trainingCorpus]] over an explicit `(doc_id, source, text)` frame. */
   def trainingCorpusOf(d: DataFrame): DataFrame = {
     val K = DedupOps.DupGramK
-    // 1. quality gate + eval exclusion (map-only)
-    val train = TextOps.qualityStats(d.select(col("doc_id"), col("source"), col("text")))
-      .where(col("keep") === 1 && col("doc_id") % ContaminationOps.EvalMod =!= 0)
-      .select(col("doc_id"), col("source"), col("text"),
+    // 1. quality gate + eval exclusion (map-only; spread the raw rows so the
+    // quality HOFs + the dedup window's md5 run on every core — the single
+    // scan task carried a 2.9 s serialized stage before. No-op at production
+    // split counts, the Par rule.)
+    // the eval-mod filter is row-local and CHEAP — let it sink to the scan;
+    // the quality gate is NOT applied here: as a pre-window filter Catalyst
+    // pushes it (rewritten over text) below the spread exchange, which
+    // re-serializes the full rule evaluation on the scan task and computes
+    // the stats twice. It moves below, after the dedup window — exact,
+    // because the rules are a function of text alone, so every md5(text)
+    // window group is keep-homogeneous: filtering whole groups after the
+    // keeper window selects the same keepers from the same groups.
+    val train = TextOps.qualityStats(
+        Par.spread(d.where(col("doc_id") % ContaminationOps.EvalMod =!= 0)
+          .select(col("doc_id"), col("source"), col("text"))))
+      .select(col("doc_id"), col("source"), col("text"), col("keep"),
         col("n_tokens").cast("long").as("n_tokens"))
     // 2. exact-dedup keeper: one window over md5(text). The keeper frame is
     // localCheckpoint-materialized ONCE (the dd8/vocab1 shared-consumer
@@ -67,18 +79,26 @@ object PipelineOps {
     // from the scan. This is the stage boundary a production run writes to
     // parquet anyway; the checkpoint is the one-plan analog.
     val kw = Window.partitionBy(md5(col("text")))
-    val keepers = train
+    // Par.spread AFTER the checkpoint: AQE coalesces the window's exchange
+    // by bytes, so at probe scale the materialized keeper frame lands on ONE
+    // partition and every downstream consumer (the contamination gram
+    // stream above all — 1.6 s serialized before) inherits single-task
+    // stages. On the materialized frame getNumPartitions is the real count,
+    // so the guard is exact: a production-sized checkpoint keeps its
+    // partitioning and no shuffle is added.
+    val keepers = Par.spread(train
       .withColumn("grp_keeper", min("doc_id").over(kw))
-      .where(col("doc_id") === col("grp_keeper"))
-      .drop("grp_keeper")
-      .localCheckpoint()
+      .where(col("doc_id") === col("grp_keeper") && col("keep") === 1)
+      .drop("grp_keeper", "keep")
+      .localCheckpoint())
     // 3. decontamination: eval grams from the RAW corpus (ctn1's eval-set
     // definition), broadcast-semi-joined against the keepers' gram stream
     val gramsOf = (toks: org.apache.spark.sql.Column) =>
       when(size(toks) >= K, DedupOps.gramHashes(toks))
         .otherwise(array().cast("array<string>"))
-    val evalGrams = d
-      .where(col("doc_id") % ContaminationOps.EvalMod === 0)
+    val evalGrams = Par.spread(d
+        .where(col("doc_id") % ContaminationOps.EvalMod === 0)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
       .select(explode(gramsOf(col("toks"))).as("h"))
       .distinct()

@@ -762,10 +762,15 @@ object SimilarityOps {
     // CodegenFallback HOF — nPlanes interpreted array casts per row per join
     // side, measured 3.7s; CollapseProject keeps the split because a
     // non-cheap expr with many references must not be duplicated)
+    // materialize the bucketed frame ONCE: the self-join's broadcast build
+    // side is a BroadcastExchange over an identical subtree — never reused
+    // against the probe side — so the interpreted double-cast + nPlanes
+    // plane dots ran twice per query before (the dd4/mm7 lesson)
     val b = e
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"), x => x.cast("double")).as("vd"))
       .select(col("vec_id"), col("embedding"), srpBucket(0, nPlanes).as("bucket"))
+      .localCheckpoint()
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -795,10 +800,14 @@ object SimilarityOps {
   private[graft] def srpNearDupBandedFrom(e: DataFrame, threshold: Double,
                                           nTables: Int, nPlanes: Int): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes $nPlanes outside [1, 62]")
+    // checkpoint BEFORE the explode (sim3's reasoning): both join sides then
+    // re-derive the (table, bucket) keys from the materialized per-vector
+    // frame instead of re-running the nTables x nPlanes plane dots
     val keyed = e
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vd"))
       .select(col("vec_id"),
         array((0 until nTables).map(t => srpBucket(t * nPlanes, nPlanes)): _*).as("bks"))
+      .localCheckpoint()
       .select(col("vec_id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -43,14 +43,17 @@ object TextOps {
   def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
     val t = coalesce(col("text"), lit(""))
     def cnt(p: String) = size(regexp_extract_all(t, lit(p), lit(0)))
-    docs(spark, dir)
+    // range-spread (Par scaladoc): five full regex passes per row — the
+    // priciest pure-map projection in the txt family — now run once and in
+    // parallel instead of twice on the single scan task
+    Par.rangeSpread(docs(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         size(tokensOf(col("text"))).as("n_ws_tokens"),
         cnt(BpePat).as("n_bpe_tokens"),
         cnt(BpeWordPat).as("n_word_runs"),
         cnt(BpeDigitPat).as("n_digit_runs"),
         cnt(BpeOtherPat).as("n_other_runs"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -65,7 +68,10 @@ object TextOps {
     val toks = tokensOf(col("text"))
     val nTokens = size(toks)
     val nStop = size(filter(toks, x => array_contains(lit(Stopwords.toArray), lower(x))))
-    docs(spark, dir)
+    // range-spread + sortWithinPartitions == orderBy row-for-row (Par
+    // scaladoc): the tokenize/regexp projection runs once, in parallel,
+    // and the exchange moves raw text instead of being re-sampled over it
+    Par.rangeSpread(docs(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
       .select(
         col("doc_id"),
         length(t).as("n_chars"),
@@ -73,7 +79,7 @@ object TextOps {
         length(regexp_replace(t, "[^.,;:!?]", "")).as("n_punct"),
         when(nTokens === 0, lit(0.0))
           .otherwise(round(nStop.cast("double") / nTokens.cast("double"), 4)).as("stop_ratio"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** Marker-word counts per language. Occurrences of ` marker ` in the padded
@@ -124,23 +130,18 @@ object TextOps {
   /** N-gram-heuristic language ID (txt3). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val pred = predLang
-    docs(spark, dir)
+    // range-spread (Par scaladoc): the 17 marker-word scans over the full
+    // text ran twice before — once in the orderBy's range sampler, once for
+    // real — and both on the single scan task
+    Par.rangeSpread(docs(spark, dir).select(col("doc_id"), col("lang"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
         (pred === col("lang")).cast("int").as("matched"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   final val FpK = 8   // k-gram length
   final val FpW = 16  // winnowing window
-
-  /** Portable k-gram hash at 1-based position `i`: unrolled Horner fold of
-    * FpK codepoints mod DedupOps.HashM1 — the identical arithmetic is
-    * mirrored in the DuckDB oracle SQL, so the full fingerprint set is
-    * value-checked by the driver (not just a count).
-    */
-  private def kgramHash(s: Column, i: Column): Column =
-    (0 until FpK).foldLeft(lit(0L): Column)((acc, j) =>
-      (acc * DedupOps.HashB1 + ascii(s.substr(i + lit(j), lit(1)))) % DedupOps.HashM1)
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash all
     * k-grams, keep the minimum hash of every w-window, dedupe. Robust to
@@ -150,20 +151,22 @@ object TextOps {
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val len = length(col("text"))
-    val hashes = transform(sequence(lit(1), len - (FpK - 1)),
-      i => kgramHash(col("text"), i))
-    // materialize the k-gram hash array once per row, THEN window over it —
-    // inlining `hashes` into the window lambda would re-evaluate the whole
-    // array per window unless codegen CSE saves it
-    val wins = transform(sequence(lit(1), size(col("hs")) - (FpW - 1)),
-      i => array_min(slice(col("hs"), i, lit(FpW))))
-    // the k-gram hashing is the most CPU-dense columnar stage in the suite
-    // (O(len·(FpK+FpW)) per doc) — Par.spread keeps it off a single task
-    // when the scan is one small file (31.4 s → ~1.6 s at sf0.1, a no-op at
-    // production split counts)
+    // the whole hash+window+distinct kernel is ONE native codegen expression
+    // (graft.expr.Winnow): the former transform/array_min/slice HOF pipeline
+    // ran interpreted per position — O(len·(FpK+FpW)) tree-walks per doc,
+    // the most CPU-dense columnar stage in the suite — and the sliding
+    // minimum is now the O(len) monotonic-deque form. Output SET per doc is
+    // value-identical (NativeTextHashSpec; the final per-(doc_id, fp) sort
+    // fixes presentation order either way). Par.spread keeps the kernel off
+    // a single task when the scan is one small file (a no-op at production
+    // split counts); range-spread is not used here because the explode
+    // changes cardinality before the sort keys exist.
+    val fps = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.Winnow(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")),
+        FpK, FpW, DedupOps.HashB1, DedupOps.HashM1))
     Par.spread(docs(spark, dir).where(len >= FpK + FpW).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), hashes.as("hs"))
-      .select(col("doc_id"), explode(array_distinct(wins)).as("fp"))
+      .select(col("doc_id"), explode(fps).as("fp"))
       .orderBy("doc_id", "fp")
   }
 
@@ -206,7 +209,10 @@ object TextOps {
     // expression re-evaluates the full split per access (same pitfall as the
     // fingerprints window, see above) — measured 86s -> sub-second on the
     // sf0.01 bench
-    val mat = docs(spark, dir).select(col("doc_id"), tokensOf(col("text")).as("toks"))
+    // Par.spread of the RAW rows first: the token-array HOF stats below are
+    // the CPU-dense stage and ran on the single scan task before
+    val mat = Par.spread(docs(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
     val n = size(col("toks"))
     val g2 = bigramsOf(col("toks"), n)
     mat.select(
@@ -298,14 +304,18 @@ object TextOps {
     Seq("too_short", "too_long", "word_length", "low_stopword", "low_distinct", "repetitive")
 
   def qualityFilterOf(d: DataFrame): DataFrame =
-    qualityStats(d.select(col("doc_id"), col("text")))
+    // range-spread keeps qf1's one-exchange-and-it-is-the-sort contract
+    // (PlanSpec): the single rangepartitioning exchange now sits BELOW the
+    // quality rules, so the HOF stats run once, in parallel, instead of
+    // twice (sort sampler + final) on the single scan task
+    qualityStats(Par.rangeSpread(d.select(col("doc_id"), col("text")), col("doc_id")))
       .select(col("doc_id"), col("n_tokens"),
         round(col("mtl"), 4).as("mean_tok_len"),
         round(col("stop_r"), 4).as("stop_ratio"),
         round(col("dist_r"), 4).as("distinct_ratio"),
         round(col("dup2"), 4).as("dup_2gram_frac"),
         col("reject_reason"), col("keep"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** pipe1: the full training-data prep flow as ONE Catalyst plan — Gopher
     * quality gate → exact dedup among survivors → keeper stats (predicted
@@ -318,15 +328,23 @@ object TextOps {
     * an arbitrary pick.
     */
   def trainingPrep(spark: SparkSession, dir: String): DataFrame =
-    // measured: Par.spread here LOSES (5.6 s → 6.6 s at sf0.1) — the map
-    // work is too cheap per row for the spread shuffle to pay for itself,
-    // unlike txt4/mm2 whose per-row kernels dominate; left unspread
-    qualityStats(docs(spark, dir).select(col("doc_id"), col("text")))
-      .where(col("keep") === 1)
-      .select(col("doc_id"), col("text"), col("n_tokens"), predLangIdx.as("pred_idx"))
+    // Par.spread of the RAW rows; the quality gate is applied AFTER the
+    // aggregate (as min(keep) — exact: the rules are a function of text
+    // alone, so every md5(text) group is keep-homogeneous and dropping
+    // groups post-agg keeps n_dups/keeper/stats identical). A pre-agg
+    // `.where(keep === 1)` is a deterministic predicate Catalyst pushes
+    // below the spread exchange, which re-serializes the full rule
+    // evaluation onto the single scan task AND evaluates the stats twice
+    // (measured: a 4.1 s single-task Filter stage). Post-agg the filter
+    // sits on aggregate outputs and cannot sink.
+    qualityStats(Par.spread(docs(spark, dir).select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("keep"),
+        predLangIdx.as("pred_idx"))
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"),
-        min("pred_idx").as("ki"), min("n_tokens").as("keeper_tokens"))
+        min("pred_idx").as("ki"), min("n_tokens").as("keeper_tokens"),
+        min("keep").as("grp_keep"))
+      .where(col("grp_keep") === 1)
       .select(col("text_hash"), col("n_dups"), col("keeper"),
         element_at(lit(LangNames.toArray), col("ki") + 1).as("keeper_lang"),
         col("keeper_tokens"))

@@ -45,7 +45,9 @@ object VocabOps {
 
   /** [[topTerms]] over an explicit `(source, text)` frame. */
   def topTermsOf(d: DataFrame, k: Int = TopK): DataFrame = {
-    val tf = d.select(col("source"), TextOps.tokensOf(col("text")).as("toks"))
+    // spread raw rows, tokenize after the exchange (Par scaladoc)
+    val tf = Par.spread(d.select(col("source"), col("text")))
+      .select(col("source"), TextOps.tokensOf(col("text")).as("toks"))
       .select(col("source"), explode(col("toks")).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -91,7 +93,12 @@ object VocabOps {
 
   /** [[unigramLogprob]] over an explicit `(doc_id, text)` frame. */
   def unigramLogprobOf(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
+    // spread raw rows, tokenize after the exchange (Par scaladoc); the
+    // score pass and the empty-doc branch both consume `toks`, and with a
+    // shared spread exchange below them the final plan reads the corpus
+    // ONCE (ReusedExchange) instead of twice
+    val toks = Par.spread(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
     val terms = toks.select(col("doc_id"), explode(col("toks")).as("term"))
     val vocab = terms.groupBy("term").agg(count(lit(1)).as("c")).localCheckpoint()
     val stats = vocab.agg(sum("c").as("t_total"), count(lit(1)).as("v_size"))
@@ -105,7 +112,11 @@ object VocabOps {
       .select(col("doc_id"), col("n_tokens"),
         round(-col("sum_lp") / col("n_tokens"), 4).as("nll"),
         round(exp(-col("sum_lp") / col("n_tokens")), 4).as("ppl"))
-    val empty = toks.where(size(col("toks")) === 0)
+    // size(toks) == 0 iff the trimmed text is empty (tokensOf contract:
+    // split of a NON-empty trimmed string always yields >= 1 token) — the
+    // cheap row-local form sinks to the scan, where the former size(toks)
+    // predicate pushed a full single-task tokenize pass below the exchange
+    val empty = d.where(trim(coalesce(col("text"), lit(""))) === "")
       .select(col("doc_id"), lit(0L).as("n_tokens"),
         lit(0.0).as("nll"), lit(1.0).as("ppl"))
     scored.union(empty).orderBy("doc_id")
