@@ -22,17 +22,14 @@ object Sessions {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE's coalesce floor (default 1 MB) binds ONLY when a shuffle's total
-      // bytes are under cores x 1 MB — i.e. never on a production corpus,
-      // where post-shuffle partitions sit near the 64 MB advisory size. At
-      // probe scale, however, the floor collapsed CPU-dense post-shuffle
-      // stages (dd3's 64 xxhash64 min-aggs, band-join probes) onto ONE task:
-      // a ~1 MB compressed shuffle of 300k rows carries seconds of aggregate
-      // CPU. 64 KB keeps those stages parallel while still coalescing truly
-      // empty partitions; override via spark.sql config if a deployment wants
-      // the stock floor back.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // AQE's coalesce floor stays at its 1 MB default. A 64 KB floor was
+      // measured both ways this round: it parallelized CPU-dense
+      // post-shuffle stages that byte-based coalescing had serialized
+      // (dd3's interpreted per-pair verify, ~2.4 s), but taxed the
+      // many-tiny-job iterative queries ~3-5x more tasks per sub-second
+      // stage (sim5 +2 s, reproducibly). The CPU-dense stages were instead
+      // fixed structurally — native expressions + map-side partials — so no
+      // config knob has to trade one query against another.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.file.transferTo", "false")

@@ -159,6 +159,179 @@ object TextHash {
   }
 }
 
+object ShingleMinHash {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Spark's xxhash64 default seed (XxHash64 expression). */
+  final val Seed = 42L
+
+  /** xxhash64(seed 42) of every 3-character shingle of `s` — byte-identical
+    * to xxhash64(substr(s, i, 3)): XxHash64 over a string hashes its UTF-8
+    * bytes, and the windows below are byte SLICES at code-point boundaries,
+    * so no per-shingle UTF8String is ever allocated. len < 3 chars yields
+    * the empty array (the callers' guard branch).
+    */
+  def shingleHashes(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nBytes = s.numBytes()
+    // byte offset of each character start, plus the end sentinel
+    val offs = new Array[Int](s.numChars() + 1)
+    var c = 0
+    var i = 0
+    while (i < nBytes) {
+      offs(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(s.getByte(i))
+    }
+    offs(c) = nBytes
+    if (c < 3) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](c - 2)
+    i = 0
+    while (i < c - 2) {
+      val st = offs(i)
+      out(i) = XXH64.hashUnsafeBytes(base, off + st, offs(i + 3) - st, Seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-permutation seeds: xxhash64(lit(i), h) hashes the int literal first
+    * (hashInt(i, 42)) and feeds the result as the seed of hashLong(h, _).
+    */
+  private def seedsFor(p: Int): Array[Long] = Array.tabulate(p)(XXH64.hashInt(_, Seed))
+  private val seeds64 = seedsFor(64)
+
+  /** The `p` minhash signature values min_h xxhash64(i, h) over the
+    * (possibly duplicated) shingle hashes — one native double loop instead
+    * of p separate min-aggregate columns over exploded rows. Signed-long
+    * min, matching the min() aggregate.
+    */
+  def minhash(hashes: ArrayData, p: Int): ArrayData = {
+    val seeds = if (p == 64) seeds64 else seedsFor(p)
+    val out = Array.fill[Long](p)(Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var i = 0
+      while (i < p) {
+        val v = XXH64.hashLong(h, seeds(i))
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+
+  /** Count of positions where the two equal-length signature arrays agree —
+    * size(filter(zip_with(a, b, ==), identity)) without the interpreted
+    * lambda walk.
+    */
+  def positionalEq(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** |a ∩ b| for two DISTINCT long arrays — size(array_intersect(a, b))
+    * without the per-pair interpreted set build (sort the smaller side once,
+    * binary-search the larger).
+    */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val (s, l) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = s.numElements()
+    val sorted = new Array[Long](ns)
+    var i = 0
+    while (i < ns) { sorted(i) = s.getLong(i); i += 1 }
+    java.util.Arrays.sort(sorted)
+    var c = 0
+    val nl = l.numElements()
+    i = 0
+    while (i < nl) {
+      if (java.util.Arrays.binarySearch(sorted, l.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** See [[ShingleMinHash.shingleHashes]]. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingles expects a string arg, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override def nullSafeEval(input: Any): Any =
+    ShingleMinHash.shingleHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleMinHash$$.MODULE$$.shingleHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** See [[ShingleMinHash.minhash]]. */
+case class MinHashSig(child: Expression, p: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_minhash expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override def nullSafeEval(input: Any): Any =
+    ShingleMinHash.minhash(input.asInstanceOf[ArrayData], p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleMinHash$$.MODULE$$.minhash($c, $p)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** See [[ShingleMinHash.positionalEq]]. */
+case class PositionalEqCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_sig_agree expects array<bigint> args, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sig_agree"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleMinHash.positionalEq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ShingleMinHash$$.MODULE$$.positionalEq($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** See [[ShingleMinHash.intersectCount]]. */
+case class IntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_intersect_n expects array<bigint> args, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_intersect_n"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleMinHash.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ShingleMinHash$$.MODULE$$.intersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** See [[TextHash.polyHash]]. */
 case class PolyHash(child: Expression, b: Long, m: Long) extends UnaryExpression {
   override def nullIntolerant: Boolean = true

@@ -78,26 +78,10 @@ object DedupOps {
     * explode happens after the doc-level spread), and only per-doc partials
     * reach the exchange.
     */
-  private[operators] def shingleHashes(d: DataFrame): DataFrame = {
-    val grams = when(length(col("text")) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(col("text")) - 2),
-        i => col("text").substr(i, lit(3))))
-    Par.spread(d.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(grams).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
-  }
-
-  /** doc_id -> 64-long minhash signature as one row of 64 min-agg columns.
-    * The i-th "permutation" is xxhash64(i, shingleHash) — codegen'd, no
-    * multiply-overflow under ANSI mode, independent per i. Input may carry
-    * duplicate (doc_id, h) rows: min() is dedupe-invariant.
-    */
-  private[operators] def signatures(sh: DataFrame): DataFrame = {
-    val minCols: Seq[Column] = (0 until NumPerms).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i")
-    }
-    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-  }
+  private def bridged(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def expr0(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
 
   /** Candidate near-dup pairs via LSH banding + exact Jaccard verification.
     * Output: (doc_a, doc_b, est_sim, jaccard) for pairs with jaccard >= minJaccard.
@@ -120,20 +104,25 @@ object DedupOps {
   }
 
   def minHashPairs(d: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = shingleHashes(d)
-    // ONE corpus pass computes BOTH per-doc artifacts (the 64 signature mins
-    // and the distinct shingle set) in a single aggregate, materialized once:
-    // the band self-join, the two est-sim joins, and the two verify joins
-    // each re-planned the whole shingle pipeline before (a broadcast build
-    // side never reuses the probe side's exchange — the mm7/dd4 lesson), so
-    // the gram explode + 64 xxhash64 stream ran up to 4x per query.
-    val perDoc = sh.groupBy("doc_id")
-      .agg(collect_set(col("h")).as("hs"),
-        (0 until NumPerms).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
+    // The per-doc signature build is a PURE MAP, one native pass per doc
+    // (graft.expr.ShingleHashes + MinHashSig): the former shape exploded
+    // every (doc, shingle) row and ran 64 xxhash64 min-aggregate columns
+    // through an ObjectHashAggregate + exchange — value-identical because
+    // min_h xxhash64(i, h) is order- and duplicate-invariant, and the
+    // shingle xxhash is taken over the same UTF-8 byte windows substr
+    // produced (NativeTextHashSpec pins both). Materialized ONCE: the band
+    // self-join and the est/verify joins each re-planned the whole pipeline
+    // before (a broadcast build side never reuses the probe side's
+    // exchange — the mm7/dd4 lesson).
+    val shingles = bridged(graft.expr.ShingleHashes(expr0(col("text"))))
+    val perDoc = Par.spread(
+        d.where(length(col("text")) >= 3).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"),
+        bridged(graft.expr.MinHashSig(expr0(col("sh")), NumPerms)).as("sig"),
+        array_distinct(col("sh")).as("hs"))
       .localCheckpoint()
-    val sig = perDoc
-      .withColumn("sig", array((0 until NumPerms).map(i => col(s"m$i")): _*))
-      .select("doc_id", "sig")
+    val sig = perDoc.select("doc_id", "sig")
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until NumBands).map { b =>
         xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col("sig")(i)): _*)
@@ -144,26 +133,34 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // estimated similarity from signature agreement
+    // estimated similarity from signature agreement (native positional
+    // count — the zip_with/filter lambda walk ran interpreted per pair, on
+    // the one or two AQE-coalesced post-shuffle tasks)
     val withEst = cand
       .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
       .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        round(bridged(graft.expr.PositionalEqCount(expr0(col("sig_a")), expr0(col("sig_b"))))
           .cast("double") / NumPerms, 4).as("est_sim"))
     // exact verification on candidates only (sets are per-doc bounded);
     // prefilter on signature agreement cuts the verification join for
     // candidates whose estimated similarity is far below the gate. Slack is
     // 0.3 = 4.9 sigma at 64 perms (sigma <= sqrt(0.25/64) ~ 0.0625), so the
     // probability a true gate-level pair is dropped here is ~5e-7.
+    // |union| = |a| + |b| - |a ∩ b| because both sides are distinct arrays,
+    // so one native intersect count replaces the interpreted per-pair
+    // array_intersect + array_union set builds.
     val sets = perDoc.select("doc_id", "hs")
+    val inter = bridged(graft.expr.IntersectCount(expr0(col("hs_a")), expr0(col("hs_b"))))
     withEst
       .where(col("est_sim") >= minJaccard - 0.3)
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("est_sim"),
-        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4).as("jaccard"))
+        col("hs_a"), col("hs_b"), inter.as("inter"))
+      .select(col("doc_a"), col("doc_b"), col("est_sim"),
+        round(col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"), 4).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
@@ -288,9 +285,17 @@ object DedupOps {
       .localCheckpoint()
     // iterate ONLY over edge-touched nodes: in a real corpus dup-involved
     // docs are a small fraction of 10^9+, so the loop's working set is the
-    // dup subgraph, not the corpus; singletons re-join once at the end
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    // dup subgraph, not the corpus; singletons re-join once at the end.
+    //
+    // ROUND 1 is a closed form, fused into the first materialization: with
+    // lbl0(v) = v, the round's three candidate sources collapse to
+    // min(v, min over neighbors u of u), i.e. ONE edge aggregate — the
+    // former shape materialized an identity labels frame (a checkpoint job)
+    // and then ran the full two-join round against it.
+    var labels = edges
+      .groupBy(col("v").as("doc_id")).agg(min(col("u")).as("nbr"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("lbl"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxCcIters) {
@@ -305,12 +310,12 @@ object DedupOps {
       // re-ran the edge join + aggregate a second time every round.
       val viaEdges = edges
         .join(labels.select(col("doc_id").as("u"), col("lbl").as("cand")), "u")
-        .select(col("v").as("doc_id"), col("cand"))
+        .select(col("v").as("doc_id"), col("cand"), lit(null).cast("long").as("old"))
       // label-space join: every label value is an iterate node id, so the
       // jump map is labels itself keyed by node id
       val viaJump = labels
         .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("cand")), Seq("lbl"))
-        .select(col("doc_id"), col("cand"))
+        .select(col("doc_id"), col("cand"), lit(null).cast("long").as("old"))
       // convergence detection is FUSED into the localCheckpoint
       // materialization: a side-effecting flag UDF feeds a LongAccumulator
       // while the iterate's rows are computed, replacing the former
@@ -318,14 +323,16 @@ object DedupOps {
       // Accumulator updates in transformations can only OVER-count (task
       // retry), and after a successful materialization every row was
       // evaluated at least once, so `acc == 0  <=>  no label changed` — exact
-      // for the >0 predicate this loop needs.
+      // for the >0 predicate this loop needs. The previous round's label
+      // rides the self branch's `old` column through the aggregate (min over
+      // the single non-null tag), so no per-round join back to `labels` is
+      // needed to compute the flag.
       val acc = nodes.sparkSession.sparkContext.longAccumulator(s"graft_cc_changed_$iter")
       val flag = udf { (c: Boolean) => if (c) acc.add(1L); c }
-      val next = labels.select(col("doc_id"), col("lbl").as("cand"))
+      val next = labels.select(col("doc_id"), col("lbl").as("cand"), col("lbl").as("old"))
         .unionByName(viaEdges)
         .unionByName(viaJump)
-        .groupBy("doc_id").agg(min(col("cand")).as("lbl"))
-        .join(labels.select(col("doc_id"), col("lbl").as("old")), Seq("doc_id"))
+        .groupBy("doc_id").agg(min(col("cand")).as("lbl"), min(col("old")).as("old"))
         .select(col("doc_id"), col("lbl"), flag(col("lbl") =!= col("old")).as("chg"))
         .localCheckpoint()
       changed = acc.value

@@ -81,6 +81,50 @@ class NativeTextHashSpec extends SparkSpec {
     }
   }
 
+  test("ShingleHashes == xxhash64 over substr 3-grams; MinHashSig == 64 min-agg columns") {
+    val df = texts.filter(_.length >= 3).toDF("text")
+    val hofGrams = transform(sequence(lit(1), length(col("text")) - 2),
+      i => xxhash64(col("text").substr(i, lit(3))))
+    val native = ColumnBridge.column(ShingleHashes(ColumnBridge.expression(col("text"))))
+    df.select(hofGrams.as("h"), native.as("n")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "shingle hash mismatch")
+    }
+    // minhash: native per-doc loop vs the 64 min(xxhash64(lit(i), h)) aggs
+    val sh = df.select(monotonically_increasing_id().as("id"), native.as("sh"))
+      .select(col("id"), col("sh"), explode(col("sh")).as("h"))
+    val agg = sh.groupBy("id")
+      .agg((0 until 64).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i")).head,
+        (0 until 64).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i")).tail: _*)
+      .select(col("id"), array((0 until 64).map(i => col(s"m$i")): _*).as("agg_sig"))
+    val nat = df.select(monotonically_increasing_id().as("id"),
+      ColumnBridge.column(MinHashSig(ColumnBridge.expression(native), 64)).as("nat_sig"))
+    val joined = agg.join(nat, "id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), "minhash signature mismatch")
+    }
+  }
+
+  test("PositionalEqCount and IntersectCount match the HOF/set-op forms") {
+    val pairs = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L)),
+      (Seq(5L, 6L), Seq(5L, 6L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-1L, Long.MaxValue, 0L), Seq(Long.MaxValue, -1L, 7L)))
+    val df = pairs.toDF("a", "b")
+    val eqN = ColumnBridge.column(PositionalEqCount(
+      ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))
+    val inN = ColumnBridge.column(IntersectCount(
+      ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))
+    df.select(
+        eqN.as("e"), size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), p => p)).as("eh"),
+        inN.as("i"), size(array_intersect(col("a"), col("b"))).as("ih"))
+      .collect().foreach { r =>
+        assert(r.getInt(0) == r.getInt(1), "positional eq mismatch")
+        assert(r.getInt(2) == r.getInt(3), "intersect count mismatch")
+      }
+  }
+
   test("natives stay native under fail-fast codegen") {
     // CodegenGuardSpec covers the full queries; this pins the expressions
     // themselves compiling (no CodegenFallback path) on a realistic frame
