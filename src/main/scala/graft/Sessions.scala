@@ -31,6 +31,13 @@ object Sessions {
       // fixed structurally — native expressions + map-side partials — so no
       // config knob has to trade one query against another.
       .config("spark.sql.session.timeZone", "UTC")
+      // unfiltered count()/min/max over parquet read row-group METADATA
+      // instead of scanning rows (off by default). Several operators pay a
+      // sizing count per invocation (the mm* oracle-side keys, sim2/sim5's
+      // nRows, ctn3's bloom sizing feed): value-identical, and at 100 TB a
+      // metadata count is the difference between a footer read and a full
+      // corpus scan.
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.file.transferTo", "false")
 

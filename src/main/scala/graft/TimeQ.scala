@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Dev tool: time individual SparkEntry queries, or diagnose the extraction
   * pipeline ("diag" mode) with per-stage wall/CPU metrics at a given
@@ -11,11 +11,16 @@ object TimeQ {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus.toInt, "graft-timeq")
+    // dev A/B switch: measure a query with AQE off (TimeQ only — the bench
+    // session is Sessions.local's tuned config either way)
+    sys.env.get("GRAFT_TIMEQ_AQE").foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
     implicit val s: SparkSession = spark
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
 
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, Long, Int)]
+    val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val jobStarts = scala.collection.mutable.Map.empty[Int, Long]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -24,15 +29,27 @@ object TimeQ {
         stages += ((si.stageId, wall, m.executorRunTime, m.executorCpuTime / 1000000L,
           m.jvmGCTime, m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead,
           si.numTasks))
+        if (sys.env.contains("GRAFT_TIMEQ_JOBS"))
+          println(f"[diag-stage] ${si.stageId}%4d wall=${wall / 1000.0}%5.2fs tasks=${si.numTasks} ${si.name.take(90)}")
       }
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobStarts(js.jobId) = js.time
+        if (sys.env.contains("GRAFT_TIMEQ_JOBS")) {
+          val site = Option(js.properties).map(_.getProperty("callSite.short", "?")).getOrElse("?")
+          println(f"[diag-job] ${js.jobId}%4d stages=${js.stageIds.length} $site")
+        }
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        jobs += ((je.jobId, jobStarts.getOrElse(je.jobId, je.time), je.time))
     })
 
     def time[A](label: String)(f: => A): A = {
-      stages.clear()
+      stages.clear(); jobs.clear()
       val t0 = System.nanoTime()
       val r = f
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[diag] $label: $wall%.2f s")
+      val jobWall = jobs.map(j => j._3 - j._2).sum / 1000.0
+      println(f"[diag] $label: $wall%.2f s  jobs=${jobs.length} jobWall=$jobWall%.2fs gaps=${wall - jobWall}%.2fs")
       stages.sortBy(-_._2).take(8).foreach { case (id, w, run, cpu, gc, shuf, n) =>
         println(f"[diag]    stage $id%4d wall=${w / 1000.0}%6.2fs taskRun=${run / 1000.0}%7.1fs cpu=${cpu / 1000.0}%7.1fs gc=${gc / 1000.0}%6.1fs shuffle=${shuf / 1e6}%8.1fMB tasks=$n")
       }

@@ -308,14 +308,15 @@ object DedupOps {
       // letting the round materialize exactly once. The former shape computed
       // a `stepped` frame and self-joined it — the un-checkpointed branch
       // re-ran the edge join + aggregate a second time every round.
+      // the pointer jump lbl(lbl(v)) is the SAME u-keyed lookup as the
+      // neighbor propagation — jump "edges" are (u = lbl(v), v) — so both
+      // steps ride ONE join against the label map instead of two (each join
+      // is its own AQE exchange/broadcast materialization, and this loop's
+      // wall at probe scale is job dispatch, not data)
       val viaEdges = edges
+        .unionByName(labels.select(col("lbl").as("u"), col("doc_id").as("v")))
         .join(labels.select(col("doc_id").as("u"), col("lbl").as("cand")), "u")
         .select(col("v").as("doc_id"), col("cand"), lit(null).cast("long").as("old"))
-      // label-space join: every label value is an iterate node id, so the
-      // jump map is labels itself keyed by node id
-      val viaJump = labels
-        .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("cand")), Seq("lbl"))
-        .select(col("doc_id"), col("cand"), lit(null).cast("long").as("old"))
       // convergence detection is FUSED into the localCheckpoint
       // materialization: a side-effecting flag UDF feeds a LongAccumulator
       // while the iterate's rows are computed, replacing the former
@@ -331,7 +332,6 @@ object DedupOps {
       val flag = udf { (c: Boolean) => if (c) acc.add(1L); c }
       val next = labels.select(col("doc_id"), col("lbl").as("cand"), col("lbl").as("old"))
         .unionByName(viaEdges)
-        .unionByName(viaJump)
         .groupBy("doc_id").agg(min(col("cand")).as("lbl"), min(col("old")).as("old"))
         .select(col("doc_id"), col("lbl"), flag(col("lbl") =!= col("old")).as("chg"))
         .localCheckpoint()
@@ -369,10 +369,13 @@ object DedupOps {
 
   /** [[clusterKeeper]] over an explicit `(doc_id, text)` frame. */
   def clusterKeeperOf(d: DataFrame): DataFrame = {
-    // tokensOf: null text counts 0 tokens in BOTH engines (qf1 contract)
+    // tokensOf: null text counts 0 tokens in BOTH engines (qf1 contract);
+    // spread the raw rows so the tokenize runs on every core — as the join's
+    // (often broadcast-built) side it otherwise rides the single scan task
     val nToks = size(TextOps.tokensOf(col("text"))).cast("long")
     dupClustersOf(d)
-      .join(d.select(col("doc_id"), nToks.as("n_tokens")), "doc_id")
+      .join(Par.spread(d.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), nToks.as("n_tokens")), "doc_id")
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
         max(struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("best"))

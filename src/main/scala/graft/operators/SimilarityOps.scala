@@ -592,12 +592,47 @@ object SimilarityOps {
     val b = assigned.select(col("cell"), col("vec_id").as("ib"), col("vec").as("vb"))
     val pairs = a.join(b, Seq("cell"))
       .where(col("ia") < col("ib") && dot(col("va"), col("vb")) >= SemThreshold)
-      .select(col("ia").as("doc_a"), col("ib").as("doc_b"))
-    val groups = DedupOps.clustersFromPairs(
-        assigned.select(col("vec_id").as("doc_id")), pairs)
-      .select(col("doc_id").as("vec_id"), col("cluster_id").as("group_id"),
-        col("cluster_size").as("group_size"))
-    val withCos = groups.join(assigned.select(col("vec_id"), col("cell"), col("ccos")), "vec_id")
+      .select(col("cell"), col("ia").as("doc_a"), col("ib").as("doc_b"))
+    // semantic-dup groups: the pair graph is WITHIN-CELL by construction
+    // (candidates share a cell), so connected components never span cells
+    // and the general iterative label-propagation loop (dd7's machinery —
+    // dozens of exchange/checkpoint sub-jobs per run) collapses to ONE
+    // shuffle keyed by cell + an in-memory min-rooted union-find per cell,
+    // exactly the oracle's own algorithm (semDedupOracleRows). Per-task
+    // state is O(cell pairs), bounded by the sqrt(N)-cell design — the same
+    // bound the pairwise join above already commits to. Same fixpoint:
+    // group id = min member id.
+    val groupOf = pairs.as[(Int, Long, Long)].groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, u, v) =>
+          parent.getOrElseUpdate(u, u)
+          parent.getOrElseUpdate(v, v)
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { val lo = math.min(ru, rv); parent(math.max(ru, rv)) = lo }
+        }
+        parent.keysIterator.map(v => (v, find(v))).toSeq
+      }
+      .toDF("vec_id", "grp")
+    // sizes come from the SMALL clustered frame only (dup-subgraph-bounded,
+    // the clustersFromPairs convention); untouched vectors are singletons of
+    // size 1 by construction, so the corpus-side frame never aggregates
+    val sizes = groupOf.groupBy("grp").agg(count(lit(1)).as("gs"))
+    val labeled = assigned.select(col("vec_id"), col("cell"), col("ccos"))
+      .join(broadcast(groupOf), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("ccos"),
+        coalesce(col("grp"), col("vec_id")).as("group_id"))
+    val withCos = labeled.join(broadcast(sizes),
+        labeled("group_id") === sizes("grp"), "left")
+      .select(col("vec_id"), col("cell"), col("group_id"),
+        coalesce(col("gs"), lit(1L)).as("group_size"), col("ccos"))
     val keepers = withCos.groupBy("group_id")
       .agg(min(struct(col("ccos"), col("vec_id"))).as("best"))
       .select(col("group_id"), col("best.vec_id").as("keeper"))
