@@ -139,10 +139,10 @@ object DomainOps {
     val plan = mixPlanOf(d)
       .select(col("source"), col("rate_permille"), col("est_tokens"))
     val kept = col("bucket") < col("rate_permille")
-    // the second corpus pass tokenizes + hash-buckets every doc — spread it
-    // like the ds1 pass (no-op at production split counts)
-    Par.spread(d.select(col("doc_id"), col("source"), col("text")))
-      .select(col("doc_id"), col("source"),
+    // the second corpus pass is unspread (measured: a wash at sf0.1 — the
+    // token count + row-local bucket hash is the ds5 class of cheap map,
+    // and the spread exchange costs what it parallelizes)
+    d.select(col("doc_id"), col("source"),
         size(TextOps.tokensOf(col("text"))).cast("long").as("n_tokens"),
         splitBucket.as("bucket"))
       .join(broadcast(plan), Seq("source"))

@@ -93,12 +93,12 @@ object VocabOps {
 
   /** [[unigramLogprob]] over an explicit `(doc_id, text)` frame. */
   def unigramLogprobOf(d: DataFrame): DataFrame = {
-    // spread raw rows, tokenize after the exchange (Par scaladoc); the
-    // score pass and the empty-doc branch both consume `toks`, and with a
-    // shared spread exchange below them the final plan reads the corpus
-    // ONCE (ReusedExchange) instead of twice
-    val toks = Par.spread(d.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
+    // NOT Par.spread: measured both ways at sf0.1 — the fit and score
+    // passes are separate jobs that cannot share a spread exchange, so the
+    // spread paid TWO text shuffles for a map (tokenize + explode) that the
+    // per-doc partial aggregation already keeps cheap (1.10 s unspread vs
+    // 1.49 s spread)
+    val toks = d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
     val terms = toks.select(col("doc_id"), explode(col("toks")).as("term"))
     val vocab = terms.groupBy("term").agg(count(lit(1)).as("c")).localCheckpoint()
     val stats = vocab.agg(sum("c").as("t_total"), count(lit(1)).as("v_size"))
